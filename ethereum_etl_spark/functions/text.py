@@ -1,0 +1,108 @@
+"""Text scalar functions: the reference's content/format helpers plus the
+text-analysis functions a training-data pipeline needs.
+
+Reference parity (SURVEY.md §2.10):
+- ``clean_content``          export_tokens_job.py:80-90 (strip ASCII-0)
+- ``zero_pad``               export_knowledge_graph_needed_common.py:68-69 (zfill(8))
+- ``round_timestamp_to_date`` services/time_service.py:1-5
+
+Training-data additions (all pure column expressions — JVM-side,
+oracle-checkable in DuckDB):
+- ``token_count``      whitespace + BPE-ish regex tokenization counts
+- ``simple_lang_id``   stopword-hit n-gram heuristic
+- ``quality_score``    length / punctuation / stopword-ratio features
+- ``text_fingerprint`` normalized-content digest (rolling-hash analog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_content(col: Column) -> Column:
+    """Strip ASCII-0 from user-provided content (export_tokens_job.py:80-90)."""
+    return F.translate(col, "\x00", "")
+
+
+def zero_pad(col: Column, width: int = 8) -> Column:
+    """``str(x).zfill(width)`` for partition names (partition_service.py:65-66)."""
+    return F.format_string(f"%0{width}d", col.cast("long"))
+
+
+def round_timestamp_to_date(ts_seconds: Column) -> Column:
+    """Unix seconds → midnight-of-day unix seconds (services/time_service.py:1-5)."""
+    return (F.floor(ts_seconds / 86400) * 86400).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count. Empty/NULL-safe."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword-unit count: runs of letters, runs of digits, or single
+    non-space symbols — a deterministic stand-in for a real tokenizer."""
+    return F.size(
+        F.filter(
+            F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (F.length(t) > 0) & (t != " "),
+        )
+    ).cast("long")
+
+
+# tiny per-language stopword seeds for the n-gram heuristic
+_LANG_HINTS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " de ", " que ", " los ", " una "],
+}
+
+
+def _hint_hits(col: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    hits = [F.when(padded.contains(h), 1).otherwise(0) for h in _LANG_HINTS[lang]]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def simple_lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits, 'und' if no hits.
+
+    greatest()-based argmax over per-language hit counts; stays in codegen.
+    """
+    scores = {lang: _hint_hits(col, lang) for lang in _LANG_HINTS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic tie-break: reverse-alphabetical iteration so that the
+    # first (alphabetical) language wins ties via the last when() layered on
+    for lang in sorted(_LANG_HINTS, reverse=True):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Document-quality heuristic in [0,1]: rewards moderate length and
+    prose-like punctuation/alpha ratios; penalizes symbol soup."""
+    n = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))
+    return F.round((len_score + alpha_ratio + punct_score) / F.lit(3.0), 6)
+
+
+def text_fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: lowercase, collapse whitespace, strip
+    punctuation, then digest — near-identical docs collide (the rolling-hash
+    document-fingerprint analog, cross-checkable as md5 in DuckDB)."""
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.md5(norm)

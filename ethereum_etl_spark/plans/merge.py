@@ -1,0 +1,265 @@
+"""MergeTable — an idempotent, key-bucketed MERGE INTO sink on parquet.
+
+This is the rebuild of the reference's Mongo knowledge-graph upsert sink
+(knowledge_graph_exporter.py:32-143 + mongo_db.py:13-124 — SURVEY.md §2.8 K5)
+and its last_synced_block checkpoint commit (streamer.py:102-134, K6), as a
+lakehouse table:
+
+- **Key-bucketed layout**: rows live in ``n_buckets`` hash buckets of the
+  merge key (xxhash64 → pmod), so a MERGE only rewrites the buckets the
+  batch touches — merge cost scales with the *delta*, not the table. This
+  is Iceberg's ``bucket(N, key)`` partition transform; on a real cluster the
+  same code targets Iceberg ``MERGE INTO`` and a storage-partitioned join
+  removes the union shuffle entirely. (No Iceberg runtime jar ships in this
+  sandbox, so the snapshot/commit protocol is implemented here directly.)
+
+- **Snapshot isolation + atomic commit**: every merge writes new immutable
+  parquet files, then a new snapshot manifest, then atomically swaps the
+  ``manifest.json`` pointer (``os.replace``). A crash at any point leaves
+  the previous snapshot intact — readers never see a partial merge.
+
+- **Exactly-once**: each merge carries a ``batch_id``; committed ids are
+  recorded in the snapshot, and re-merging a committed batch is a no-op.
+  Combined with replay-idempotent keys this upgrades the reference's
+  at-least-once checkpointing (re-export after crash, streamer.py:102-106)
+  to exactly-once *effective* semantics.
+
+- **Additive schema evolution** (reference rule, SURVEY.md §1.3): new
+  columns union in by name; old rows read as NULL; nothing is rewritten.
+
+- **Latest-wins resolution**: within a merge key, the row with the highest
+  ``order_col`` (seq) wins — the CDC upsert semantic of mongo_db.py:72-83
+  ``replace_one``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_BUCKET_COL = "__bucket"
+_IS_NEW_COL = "__is_new"
+_RN_COL = "__rn"
+
+
+@dataclass
+class MergeMetrics:
+    """Per-merge lineage record (the A6 analog — SURVEY.md §2.6)."""
+
+    batch_id: str
+    snapshot_id: int
+    rows_in: int
+    rows_after_dedup: int
+    buckets_touched: int
+    n_buckets: int
+    seconds: float
+    noop: bool = False
+    extra: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "batch_id": self.batch_id,
+            "snapshot_id": self.snapshot_id,
+            "rows_in": self.rows_in,
+            "rows_after_dedup": self.rows_after_dedup,
+            "buckets_touched": self.buckets_touched,
+            "n_buckets": self.n_buckets,
+            "seconds": round(self.seconds, 4),
+            "noop": self.noop,
+            **self.extra,
+        }
+
+
+class MergeTable:
+    """A parquet-backed upsert table with snapshot manifests.
+
+    Layout::
+
+        root/
+          manifest.json            -> {"snapshot": <id>}   (atomic pointer)
+          snapshots/<id>.json      -> immutable snapshot manifest
+          data/s<id>/b=<k>/*.parquet
+          lineage.jsonl            -> one MergeMetrics line per commit
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        merge_keys: Sequence[str] = ("repo", "path", "commit"),
+        order_col: str = "seq",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.merge_keys = list(merge_keys)
+        self.order_col = order_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---------------- snapshot plumbing ----------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def current_snapshot(self) -> dict | None:
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            pointer = json.load(f)
+        with open(os.path.join(self.root, "snapshots", f"{pointer['snapshot']}.json")) as f:
+            return json.load(f)
+
+    def committed_batches(self) -> set[str]:
+        snap = self.current_snapshot()
+        return set(snap["committed_batches"]) if snap else set()
+
+    def _commit(self, snapshot: dict) -> None:
+        sid = snapshot["id"]
+        spath = os.path.join(self.root, "snapshots", f"{sid}.json")
+        with open(spath, "w") as f:
+            json.dump(snapshot, f)
+        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": sid}, f)
+        os.replace(tmp, self._manifest_path())  # atomic pointer swap
+
+    def _log_lineage(self, m: MergeMetrics) -> None:
+        with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(m.to_dict()) + "\n")
+
+    # ---------------- read path ----------------
+
+    def _bucket_expr(self, df: DataFrame):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.merge_keys]), F.lit(self.n_buckets))
+
+    def read(self) -> DataFrame:
+        """Current table state (snapshot-consistent)."""
+        snap = self.current_snapshot()
+        if snap is None or not any(snap["buckets"].values()):
+            return self.spark.createDataFrame([], "repo string, path string, commit string")
+        paths = sorted({p for plist in snap["buckets"].values() for p in plist})
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def latest_state(self, keys: Sequence[str] = ("repo", "path")) -> DataFrame:
+        """Latest row per (sub)key by order_col — the 'current file content'
+        view (the reference's wallet/token current-state collections)."""
+        w = Window.partitionBy(*keys).orderBy(F.col(self.order_col).desc(), F.col("commit").desc())
+        return (
+            self.read()
+            .withColumn(_RN_COL, F.row_number().over(w))
+            .filter(F.col(_RN_COL) == 1)
+            .drop(_RN_COL)
+        )
+
+    # ---------------- merge (the upsert) ----------------
+
+    def merge(self, batch: DataFrame, batch_id: str) -> MergeMetrics:
+        """MERGE batch INTO table ON merge_keys, latest-order_col-wins.
+
+        Idempotent per ``batch_id`` AND per key: re-merging a committed batch
+        is a pointer-level no-op; re-merging the same *rows* under a new
+        batch_id converges to the same state (dedup on merge keys).
+        """
+        t0 = time.time()
+        snap = self.current_snapshot()
+        committed = set(snap["committed_batches"]) if snap else set()
+        next_id = (snap["id"] + 1) if snap else 0
+
+        if batch_id in committed:
+            m = MergeMetrics(batch_id, snap["id"], 0, 0, 0, self.n_buckets, time.time() - t0, noop=True)
+            self._log_lineage(m)
+            return m
+
+        # 1. in-batch dedup: latest order_col per merge key. The shuffle key
+        #    is the full merge key (repo,path,commit) — high cardinality, so
+        #    hot repos don't create hot partitions here; repo-level skew is
+        #    handled by salting in pre-aggregations (operators/skew.py).
+        w = Window.partitionBy(*self.merge_keys).orderBy(F.col(self.order_col).desc())
+        deduped = (
+            batch.withColumn(_RN_COL, F.row_number().over(w))
+            .filter(F.col(_RN_COL) == 1)
+            .drop(_RN_COL)
+            .withColumn(_BUCKET_COL, self._bucket_expr(batch))
+        )
+        rows_in = batch.count()
+        deduped = deduped.persist()
+        try:
+            touched = sorted(
+                r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
+            )
+            rows_dedup = deduped.count()
+
+            old_buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
+            existing_paths = [p for b in touched for p in old_buckets.get(str(b), [])]
+
+            new_part = deduped.withColumn(_IS_NEW_COL, F.lit(1))
+            if existing_paths:
+                existing = self.spark.read.option("mergeSchema", "true").parquet(*existing_paths)
+                # bucket value is derivable from the key; recompute rather
+                # than trusting directory names (survives schema drift)
+                existing = existing.withColumn(_BUCKET_COL, self._bucket_expr(existing))
+                existing = existing.withColumn(_IS_NEW_COL, F.lit(0))
+                merged = new_part.unionByName(existing, allowMissingColumns=True)
+            else:
+                merged = new_part
+
+            # 2. resolve winners: latest order_col, prefer the incoming row on
+            #    ties (CDC replace_one semantics, mongo_db.py:72-83)
+            wk = Window.partitionBy(*self.merge_keys).orderBy(
+                F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
+            )
+            resolved = (
+                merged.withColumn(_RN_COL, F.row_number().over(wk))
+                .filter(F.col(_RN_COL) == 1)
+                .drop(_RN_COL, _IS_NEW_COL)
+            )
+
+            # 3. write new files for touched buckets only
+            out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
+            (
+                resolved.repartition(max(len(touched), 1), F.col(_BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET_COL)
+                .parquet(out_dir)
+            )
+
+            new_buckets = dict(old_buckets)
+            for b in touched:
+                bpath = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
+                if os.path.exists(bpath):
+                    new_buckets[str(b)] = [bpath]
+
+            snapshot = {
+                "id": next_id,
+                "parent": snap["id"] if snap else None,
+                "buckets": new_buckets,
+                "committed_batches": sorted(committed | {batch_id}),
+                "merge_keys": self.merge_keys,
+                "order_col": self.order_col,
+                "n_buckets": self.n_buckets,
+            }
+            self._commit(snapshot)
+        finally:
+            deduped.unpersist()
+
+        m = MergeMetrics(
+            batch_id,
+            next_id,
+            rows_in,
+            rows_dedup,
+            len(touched),
+            self.n_buckets,
+            time.time() - t0,
+        )
+        self._log_lineage(m)
+        return m
