@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all declarative DataFrame compositions (no row-at-a-time
+Python), each designed so the same semantics are expressible in ANSI SQL for
+the DuckDB correctness oracle:
+
+- exact:        hash-groupBy on content digest
+- MinHash+LSH:  shingle → per-seed min-digest signature → band buckets →
+                bucket self-join → Jaccard verify
+- SimHash:      per-token digest bit-votes → sign fingerprint → Hamming buckets
+- n-gram Jaccard: blocked self-join + token-set overlap
+- embedding:    cosine near-dup within LSH/blocking buckets (see similarity.py)
+
+Scale notes (100 TB): every self-join is *blocked* (band key, fingerprint,
+or metadata block) so candidate generation is an equi-join — never a cross
+join; signatures are computed in one projection pass (map-side, no shuffle);
+the only shuffles are the groupBy on digest/bucket keys, which are
+high-cardinality and salt-friendly.
+
+Digest choice: md5 (JVM-native in Spark, built-in in DuckDB) — deterministic
+across engines, which is what makes the oracle comparison possible. MinHash
+"seeds" are digest-prefix salts: min(md5(seed || shingle)) is a valid
+min-wise hash family member per seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------- exact ----------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one survivor (min id) per exact content digest."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------- shingles / minhash ----------------
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles as an array (one transform(), JVM-side)."""
+    n = F.greatest(F.length(col) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+    )
+
+
+def minhash_signature(col: Column, n_hashes: int = 16, k: int = 8) -> Column:
+    """Array of ``n_hashes`` min-digests over the shingle set."""
+    sh = char_shingles(col, k)
+
+    def _salted_md5(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    mins = [F.array_min(F.transform(sh, _salted_md5(seed))) for seed in range(n_hashes)]
+    return F.array(*mins)
+
+
+def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: digest of each band's signature slice."""
+    keys = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), F.slice(sig, b * rows_per_band + 1, rows_per_band)))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, Jaccard-verified.
+
+    Plan shape: project(signature, bands, shingles) → explode(band) →
+    self-equi-join on (band_key) with id< id ordering → dedup pairs →
+    exact-Jaccard filter. The join key is the band bucket — hot buckets are
+    bounded by band width; no cross join ever materializes.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), k).alias("shingles"),
+        minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
+    )
+    banded = base.withColumn(
+        "band_key", F.explode(minhash_band_keys(F.col("sig"), bands, rows_per_band))
+    ).select("id", "shingles", "band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in >1 band
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+    """Survivors after dropping the higher id of every near-dup pair."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------- simhash ----------------
+
+def _hex_digit_bit(hexcol: Column, pos: int) -> Column:
+    """Bit `pos%4` of hex digit `pos//4` of a digest — a cheap, engine-portable
+    bit extractor (conv(digit,16,10) then shift/mask)."""
+    digit = F.conv(F.substring(hexcol, pos // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(digit, pos % 4).bitwiseAND(F.lit(1))
+
+
+def simhash_bits(col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint as an int: per-token md5 bit votes → sign.
+
+    Whitespace tokens; bit j of the fingerprint is 1 iff the sum over tokens
+    of (2*bit_j(md5(token)) - 1) is positive. Fully columnar: aggregate()
+    over the token array per bit — no UDF, and bit-for-bit reproducible in
+    SQL (the DuckDB oracle replays the same md5 arithmetic).
+    """
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    def _merge_fn(jj: int):
+        return lambda acc, h: acc + (_hex_digit_bit(h, jj) * 2 - 1).cast("long")
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _merge_fn(j))
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Docs sharing a fingerprint collapse to the min-id survivor."""
+    return (
+        df.withColumn("simhash", simhash_bits(F.col(text_col), bits))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------- n-gram jaccard ----------------
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    toks = F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: F.length(t) > 0)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    n: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: self-equi-join on ``block_cols``
+    (metadata blocking — never all-pairs), then exact overlap."""
+    base = df.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols],
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Multimodal columns — opaque binary payloads with typed metadata.
+
+Design for image/audio/video at 100 TB: media travel as ``binary`` columns
+next to typed metadata (mime, width/height, duration, codec). Decode /
+feature-extract / resize / frame-sample run as **Arrow-batched mapInPandas
+operators** so the heavy bytes cross the JVM↔Python boundary once per batch,
+never per row, and the pipeline controls batch size via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (bytes-per-batch is the
+real memory knob at scale — keep batches ≪ executor heap).
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernels are stubbed: ``backend="fake"`` produces deterministic
+hash-derived outputs (real plumbing, fake pixels — schema, partitioning,
+batch shapes and UDF signatures are all exercised by tests);
+``backend="real"`` raises NotImplementedError where the library call goes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, kind STRING, mime STRING, width INT, height INT, "
+    "duration_ms BIGINT, payload BINARY"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id BIGINT, kind STRING, feat_dim INT, features ARRAY<FLOAT>, decode_ok BOOLEAN"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id BIGINT, frame_idx INT, frame_sha256 STRING"
+
+
+def synthesize_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload = seeded digest bytes)."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("id") % 3 + 1).cast("int")
+    )
+    payload = F.to_binary(
+        F.concat(*[F.md5(F.concat(F.lit(f"media:{seed}:{i}:"), F.col("id").cast("string"))) for i in range(8)]),
+        F.lit("hex"),
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("media_id"),
+        kinds.alias("kind"),
+        F.concat(F.lit("application/x-fake-"), kinds).alias("mime"),
+        (F.col("id") % 640 + 32).cast("int").alias("width"),
+        (F.col("id") % 480 + 32).cast("int").alias("height"),
+        (F.col("id") * 40 % 60000).alias("duration_ms"),
+        payload.alias("payload"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic pseudo-embedding from payload bytes (the stub kernel)."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * (dim * 4 // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / 2**32).astype(np.float32)
+
+
+def extract_image_features(
+    media: DataFrame, feat_dim: int = 64, backend: str = "fake"
+) -> DataFrame:
+    """decode → feature-extract as one mapInPandas pass over image rows.
+
+    Real backend would decode ``payload`` with PIL and run a vision encoder;
+    the Arrow plumbing (batch iterator, schema, column pruning of the binary
+    payload after use) is identical either way.
+    """
+    if backend not in ("fake", "real"):
+        raise ValueError(backend)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend == "real":
+                raise NotImplementedError(
+                    "image decode requires PIL/torchvision (not in this container); "
+                    "use backend='fake' for plumbing tests"
+                )
+            feats = [
+                _fake_features(p, feat_dim) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feat_dim": feat_dim,
+                    "features": feats,
+                    "decode_ok": [f is not None for f in feats],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    ).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, backend: str = "fake") -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame.
+
+    Real backend seeks with ffmpeg; the fake one emits the deterministic
+    digest of (payload, frame index) so downstream joins/aggregations are
+    fully exercised.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend == "real":
+                raise NotImplementedError("video decode requires ffmpeg (not in this container)")
+            ids, idxs, shas = [], [], []
+            for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
+                n = max(int(dur) // every_ms, 1)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_sha256": shas})
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "duration_ms", "payload"
+    ).mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int, backend: str = "fake") -> DataFrame:
+    """Resize kernel: binary in → binary out, metadata updated in place."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if backend == "real":
+                raise NotImplementedError("image resize requires PIL (not in this container)")
+            out = pdf.copy()
+            out["width"] = width
+            out["height"] = height
+            out["payload"] = [
+                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            yield out
+
+    img = media.filter(F.col("kind") == "image")
+    return img.mapInPandas(kernel, img.schema)

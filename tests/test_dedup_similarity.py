@@ -1,0 +1,119 @@
+"""Dedup + similarity operators vs Python/numpy oracles on the driver
+testdata documents/embeddings tables (sf0.001)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from ethereum_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    # plant exact duplicates
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    out = exact_dedup(both, "doc_id", "text")
+    assert out.filter(F.col("n_copies") >= 2).count() >= 5
+    # survivors keep the min id
+    assert out.agg(F.max("doc_id")).first()[0] < 1_000_000
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    base = docs.limit(20)
+    # near-dup: append a token (high shingle overlap)
+    near = base.withColumn("doc_id", F.col("doc_id") + 500_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" appended tail"))
+    )
+    both = base.unionByName(near).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", n_hashes=16, bands=8, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, i + 500_000) for (i,) in base.select("doc_id").collect()}
+    assert len(found & planted) >= int(0.8 * len(planted))  # LSH recall
+    survivors = minhash_dedup(both, "doc_id", "text", n_hashes=16, bands=8, threshold=0.5)
+    assert survivors.count() <= both.count() - len(found & planted)
+
+
+def test_jaccard_exactness(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "g"), (2, "the cat sat on a mat", "g"), (3, "totally different words here", "g")],
+        "id long, text string, blk string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, "id", "text", ["blk"], n=2, threshold=0.0).collect()}
+    # oracle: bigrams of 1: {the cat, cat sat, sat on, on the, the mat}; of 2: {..., on a, a mat}
+    assert abs(pairs[(1, 2)] - 3 / 7) < 1e-9
+    assert pairs[(1, 3)] == 0.0
+
+
+def test_simhash_collapses_identical_docs(spark, docs):
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 900_000)
+    both = docs.limit(50).unionByName(dup).select("doc_id", "text")
+    out = simhash_dedup(both, "doc_id", "text", bits=16)
+    assert out.filter(F.col("n_docs") >= 2).count() >= 1
+    assert out.count() < 60  # at least the 10 identical pairs collapsed
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    corpus = embeddings.limit(200).cache()
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(corpus, queries, k=5).collect()
+
+    rows = corpus.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for qid in [r["vec_id"] for r in queries.collect()]:
+        q = vecs[qid]
+        sims = {
+            nid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for nid, v in vecs.items()
+            if nid != qid
+        }
+        expect = sorted(sims, key=lambda n: (-round(sims[n], 8), n))[:5]
+        got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert got == expect
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    corpus = embeddings.limit(300).cache()
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(corpus, queries, k=3).collect()
+    approx = lsh_topk(corpus, queries, k=3, bits=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # every query must at least find itself-adjacent bucket mates; recall
+    # is approximate by design — assert it returns results and they're
+    # genuinely high-cosine
+    assert len(approx_set) > 0
+    assert all(r["cos_sim"] <= 1.0 + 1e-9 for r in approx)
+    # sanity: with only 4 bits, buckets are big → decent overlap expected
+    assert len(exact_set & approx_set) >= len(exact_set) * 0.2
+
+
+def test_embedding_near_dup_with_block(spark, embeddings):
+    dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 700_000)
+    both = embeddings.limit(100).unionByName(dup)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999999, block_col="label")
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 700_000) for i in range(5)} <= found
