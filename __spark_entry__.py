@@ -1,38 +1,979 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data operators) as a named (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each, run
+side-by-side by the driver at sf=0.01 (row-count + schema + order-insensitive
+value-hash).
+
+Cross-engine determinism rules used throughout (see also
+ethereum_etl_spark/operators/similarity.py `cosine_portable`):
+
+- Doubles are never aggregated raw: every double is cast to a fixed-scale
+  DECIMAL at row level (exact, associative arithmetic -> bit-identical sums
+  in any engine), and decimal outputs are cast to VARCHAR at a pinned scale
+  so the stringification is identical.
+- Digests are md5/sha256 (built-in in both engines, lowercase hex).
+- The uint256 decode is verified against a DuckDB HUGEINT digit-expansion
+  with precomputed 16^k literal powers (DuckDB has no conv()).
+- Timestamps are reduced to DATE or epoch-bucket BIGINT columns; the session
+  timezone is pinned to UTC inside every query.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ethereum_etl_spark.functions.hex import TRANSFER_EVENT_TOPIC
+from ethereum_etl_spark.functions.text import (
+    bpe_ish_token_count,
+    quality_score,
+    simple_lang_id,
+    text_fingerprint,
+    token_count,
+    _LANG_HINTS,
+)
+from ethereum_etl_spark.operators.balances import running_balances, transfers_to_deltas
+from ethereum_etl_spark.operators.contracts import ERC20_REQUIRED, classify_contracts
+from ethereum_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
+from ethereum_etl_spark.operators.multimodal import (
+    extract_image_features,
+    sample_frames,
+    synthesize_media,
+)
+from ethereum_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_portable,
+    embedding_near_dup_pairs,
+    lsh_topk,
+    sign_lsh_key,
+)
+from ethereum_etl_spark.operators.skew import salted_aggregate
+from ethereum_etl_spark.operators.transfers import extract_token_transfers
+from ethereum_etl_spark.plans.merge import MergeTable
+from ethereum_etl_spark.plans.replay import replay_range
+from ethereum_etl_spark.sources.datagen import generate_repo_changes
+from ethereum_etl_spark.sources.tail import TailSource
+from ethereum_etl_spark.streaming.stream import Streamer
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+D82 = "decimal(8,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _d2(c) -> F.Column:
+    return c.cast(D82)
+
+
+def _dstr(c, scale: int = 2) -> F.Column:
+    return c.cast(f"decimal(38,{scale})").cast("string")
+
+
+def _sql_dstr(expr: str, scale: int = 2) -> str:
+    return f"CAST(CAST({expr} AS DECIMAL(38,{scale})) AS VARCHAR)"
+
+
+# deterministic 40-hex "address body": md5(A||s)[:32] ++ md5(B||s)[:8]
+def _a40(prefix: str, col) -> F.Column:
+    s = F.concat(F.lit(prefix), col.cast("string"))
+    return F.concat(
+        F.substring(F.md5(F.concat(F.lit("A"), s)), 1, 32),
+        F.substring(F.md5(F.concat(F.lit("B"), s)), 1, 8),
+    )
+
+
+def _sql_a40(prefix: str, colexpr: str) -> str:
+    s = f"'{prefix}' || CAST({colexpr} AS VARCHAR)"
+    return f"(substr(md5('A' || {s}),1,32) || substr(md5('B' || {s}),1,8))"
+
+
+def _sql_hex_to_hugeint(hex_col: str, ndigits: int) -> str:
+    """DuckDB: exact integer value of an ndigits-char lowercase hex column."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_col},{i + 1},1))-1)::HUGEINT"
+        f" * {16 ** (ndigits - 1 - i)}::HUGEINT"
+        for i in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# the D2 demo ABI (reference shape: artifacts/event-abi/*.json)
+_DEPOSIT_ABI: EventAbi = load_abi(
+    {
+        "name": "Deposit",
+        "inputs": [
+            {"name": "user", "type": "address", "indexed": True},
+            {"name": "amount", "type": "uint256"},
+            {"name": "shares", "type": "uint256"},
+        ],
+    }
+)
+_NOISE_TOPIC = TRANSFER_EVENT_TOPIC  # "wrong event" topic for the ABI decode
+
+
+# ---------------------------------------------------------------------------
+# synthetic constructions shared between the Spark query and its oracle
+# ---------------------------------------------------------------------------
+
+def _synth_transfer_logs(ev: DataFrame) -> DataFrame:
+    """events -> a deterministic receipt-log table exercising D1/F1/F6:
+    every 5th row a non-Transfer topic (filtered), every 7th malformed data
+    (dropped by the word-count guard), value a 24-hex (> 2^64) payload."""
+    eid = F.col("event_id")
+    token_body = _a40("token:", eid % 20)
+    from_word = F.concat(F.lit("0x" + "0" * 24), _a40("from:", F.col("user_id")))
+    to_word = F.concat(F.lit("0x" + "0" * 24), _a40("to:", eid % 97))
+    vhex = F.substring(F.md5(F.concat(F.lit("val:"), eid.cast("string"))), 1, 24)
+    data = F.when(eid % 7 == 3, F.lit("0x")).otherwise(
+        F.concat(F.lit("0x" + "0" * 40), vhex)
+    )
+    topic0 = F.when(eid % 5 == 0, F.lit("0x" + "ee" * 32)).otherwise(
+        F.lit(TRANSFER_EVENT_TOPIC)
+    )
+    return ev.select(
+        F.concat(F.lit("0x"), token_body).alias("address"),
+        F.array(topic0, from_word, to_word).alias("topics"),
+        data.alias("data"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx:"), eid.cast("string")))).alias(
+            "transaction_hash"
+        ),
+        (eid % 1000).alias("log_index"),
+        (eid / 10).cast("long").alias("block_number"),
+    )
+
+
+_SQL_TRANSFER_LOG_BASE = f"""
+    SELECT event_id, user_id,
+           '0x' || {_sql_a40("token:", "event_id % 20")} AS token_address,
+           '0x' || {_sql_a40("from:", "user_id")} AS from_address,
+           '0x' || {_sql_a40("to:", "event_id % 97")} AS to_address,
+           substr(md5('val:' || CAST(event_id AS VARCHAR)), 1, 24) AS vhex,
+           '0x' || md5('tx:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+           (event_id % 1000)::BIGINT AS log_index,
+           (event_id // 10)::BIGINT AS block_number
+    FROM events
+    WHERE event_id % 5 <> 0 AND event_id % 7 <> 3
+"""
+
+
+def _synth_event_logs(ev: DataFrame) -> DataFrame:
+    """events -> logs for the generic ABI decode (D2): indexed address word in
+    topics, two uint words in data; noise topics + short-data malformed rows."""
+    eid = F.col("event_id")
+    user_word = F.concat(F.lit("0x" + "0" * 24), _a40("user:", F.col("user_id")))
+    amt = F.substring(F.md5(F.concat(F.lit("amt:"), eid.cast("string"))), 1, 24)
+    sh = F.substring(F.md5(F.concat(F.lit("sh:"), eid.cast("string"))), 1, 16)
+    amt_word = F.concat(F.lit("0" * 40), amt)
+    sh_word = F.concat(F.lit("0" * 48), sh)
+    data = F.when(eid % 9 == 2, F.concat(F.lit("0x"), amt_word)).otherwise(
+        F.concat(F.lit("0x"), amt_word, sh_word)
+    )
+    topic0 = F.when(eid % 4 == 1, F.lit(_NOISE_TOPIC)).otherwise(
+        F.lit(_DEPOSIT_ABI.topic0)
+    )
+    return ev.select(
+        F.concat(F.lit("0x"), _a40("pool:", eid % 7)).alias("address"),
+        F.array(topic0, user_word).alias("topics"),
+        data.alias("data"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx:"), eid.cast("string")))).alias(
+            "transaction_hash"
+        ),
+        (eid % 1000).alias("log_index"),
+        (eid / 10).cast("long").alias("block_number"),
+    )
+
+
+# the dedup corpus: base docs + planted fingerprint-near-dups (+10000, text
+# with an appended ' .' that normalization strips) + exact dups (+20000)
+def _dedup_corpus(docs: DataFrame) -> DataFrame:
+    near = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" .")))
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 20000
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_SQL_CORPUS = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text || ' .', lang, source, n_chars
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 20000, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+# DuckDB replication of the portable cosine (products quantized to
+# DECIMAL(18,6), exact decimal sums, double division)
+def _sql_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform({a}, (x,i) -> "
+        f"CAST(x::DOUBLE * {b}[i]::DOUBLE AS DECIMAL(18,6))))::DOUBLE"
+    )
+    def n2(v: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({v}, x -> "
+            f"CAST(x::DOUBLE * x::DOUBLE AS DECIMAL(18,6))))::DOUBLE)"
+        )
+    return f"({dot} / ({n2(a)} * {n2(b)}))"
+
+
+def _sql_lsh_bucket(vec: str, bits: int) -> str:
+    bit_exprs = []
+    for j in range(bits):
+        parity = (
+            f"(strpos('0123456789abcdef', substr(md5('{j}:' || "
+            f"CAST(i-1 AS VARCHAR)),1,1))-1) % 2 = 0"
+        )
+        proj = (
+            f"list_sum(list_transform({vec}, (x,i) -> CAST(CASE WHEN {parity} "
+            f"THEN x::DOUBLE ELSE -(x::DOUBLE) END AS DECIMAL(18,6))))"
+        )
+        bit_exprs.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bit_exprs) + ")"
+
+
+def _sql_simhash(hashes_col: str, bits: int) -> str:
+    parts = []
+    for j in range(bits):
+        bit = (
+            f"((((strpos('0123456789abcdef', substr(h,{j // 4 + 1},1))-1) >> {j % 4})"
+            f" & 1) * 2 - 1)"
+        )
+        vote = f"list_sum(list_transform({hashes_col}, h -> {bit}))"
+        parts.append(f"CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _sql_lang_pred(padded: str) -> tuple[str, str]:
+    """(score-select-list, CASE expression) mirroring simple_lang_id."""
+    scores = {}
+    for lang, hints in _LANG_HINTS.items():
+        hits = " + ".join(
+            f"CASE WHEN strpos({padded}, '{h}') > 0 THEN 1 ELSE 0 END" for h in hints
+        )
+        scores[lang] = f"({hits}) AS s_{lang}"
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(_LANG_HINTS)) + ")"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in sorted(_LANG_HINTS)
+    )
+    return ", ".join(scores.values()), f"CASE {whens} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query (driver runs at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the text/normalize pipeline over documents — per-row sha256
+    invariant, token counts, language ID, quality, dedup fingerprint."""
+    _utc(spark)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    w = Window.partitionBy("fp")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.sha2(F.col("text"), 256).alias("sha256"),
+            token_count(F.col("text")).alias("n_tokens"),
+            bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+            simple_lang_id(F.col("text")).alias("lang_pred"),
+            quality_score(F.col("text")).cast("decimal(18,6)").alias("quality"),
+            text_fingerprint(F.col("text")).alias("fp"),
+        )
+        .withColumn("n_fp_dups", F.count("*").over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price, disc, tax = _d2(F.col("l_extendedprice")), _d2(F.col("l_discount")), _d2(F.col("l_tax"))
+    one = F.lit(1).cast(D82)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d2(F.col("l_quantity"))).alias("_sq"),
+            F.sum(price).alias("_sb"),
+            F.sum(price * (one - disc)).alias("_sd"),
+            F.sum(price * (one - disc) * (one + tax)).alias("_sc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _dstr(F.col("_sq")).alias("sum_qty"),
+            _dstr(F.col("_sb")).alias("sum_base_price"),
+            _dstr(F.col("_sd"), 4).alias("sum_disc_price"),
+            _dstr(F.col("_sc"), 6).alias("sum_charge"),
+            "count_order",
+        )
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-30")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-30")
+    one = F.lit(1).cast(D82)
+    rev = F.sum(_d2(F.col("l_extendedprice")) * (one - _d2(F.col("l_discount")))).alias("_rev")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(rev)
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "order_date", _dstr(F.col("_rev"), 4).alias("revenue"))
+    )
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(D82)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_d2(F.col("l_extendedprice")) * (one - _d2(F.col("l_discount")))).alias("_rev")
+        )
+        .select("n_name", _dstr(F.col("_rev"), 4).alias("revenue"))
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", _dstr(_d2(F.col("value"))).alias("value"))
+    )
+
+
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    delta = F.when(F.col("event_type") == "purchase", _d2(F.col("value"))).otherwise(
+        -_d2(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", _dstr(F.sum(delta).over(w)).alias("balance")
+    )
+
+
+def q_prev_value_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id", "user_id", _dstr(F.lag(_d2(F.col("value"))).over(w)).alias("prev_value")
+    )
+
+
+def q_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").withColumn("value_d", _d2(F.col("value")))
+    out = salted_aggregate(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "event_id"),
+            "total": ("sum", "value_d"),
+            "max_value": ("max", "value_d"),
+        },
+        n_salts=16,
+        salt_source="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        _dstr(F.col("total")).alias("total"),
+        _dstr(F.col("max_value")).alias("max_value"),
+    )
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_d2(F.col("value"))).alias("_t"))
+        .select("day", "event_type", "n", _dstr(F.col("_t")).alias("total"))
+    )
+
+
+def q_windowed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    win = F.floor(F.unix_timestamp(F.col("ts")) / 300).cast("long")
+    return (
+        ev.groupBy(win.alias("window_id"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_d2(F.col("value"))).alias("_t"))
+        .select("window_id", "event_type", "n", _dstr(F.col("_t")).alias("total"))
+    )
+
+
+def q_purchase_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 15.0)).select(
+        "event_id", "user_id", _dstr(_d2(F.col("value"))).alias("value")
+    )
+
+
+def q_token_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    logs = _synth_transfer_logs(_t(spark, sf_dir, "events"))
+    out = extract_token_transfers(logs)
+    return out.select(
+        "token_address",
+        "from_address",
+        "to_address",
+        F.col("value").cast("string").alias("value"),
+        "value_hex",
+        "transaction_hash",
+        "log_index",
+        "block_number",
+    )
+
+
+def q_abi_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    logs = _synth_event_logs(_t(spark, sf_dir, "events"))
+    return decode_events(logs, _DEPOSIT_ABI)
+
+
+def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    b0 = "0x" + "".join("63" + s[2:] for s in ERC20_REQUIRED) + "00" + "63deadbeef"
+    b1 = "0x" + "63" + "6352211e" + "63" + "70a08231" + "00"
+    b2 = "0x" + "63" + "a9059cbb"
+    m = F.col("p_partkey") % 4
+    bytecode = (
+        F.when(m == 0, F.lit(b0)).when(m == 1, F.lit(b1)).when(m == 2, F.lit(b2)).otherwise(F.lit("0x"))
+    )
+    df = part.select("p_partkey", bytecode.alias("bytecode"))
+    return classify_contracts(df).select(
+        "p_partkey",
+        F.concat_ws(",", F.col("function_sighashes")).alias("sighashes_csv"),
+        "is_erc20",
+        "is_erc721",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    return exact_dedup(corpus, "doc_id", "text")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    return (
+        corpus.withColumn("fp", text_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    corpus = _dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", n_hashes=16, bands=4, k=8, threshold=0.5)
+    return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    corpus = _dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return simhash_dedup(corpus, "doc_id", "text", bits=16)
+
+
+def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", ["lang", "source"], n=2, threshold=0.5)
+    return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.sha2(t, 256).alias("sha256"),
+        token_count(t).alias("n_tokens_ws"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("long").alias("n_punct"),
+        quality_score(t).cast("decimal(18,6)").cast("string").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simple_lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, score_fn=cosine_portable
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim"),
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, bits=6, score_fn=cosine_portable
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim"),
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    both = emb.unionByName(planted)
+    pairs = embedding_near_dup_pairs(
+        both, threshold=0.9, block_col="label", score_fn=cosine_portable
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim")
+    )
+
+
+def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", sign_lsh_key(F.col("embedding"), bits=8).alias("bucket"))
+
+
+# -------- rows-only (non-SQL-expressible: full engine / streaming / media) --
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC slice: deterministic change log -> normalize -> idempotent
+    bucketed MERGE -> final table state (re-running a range is a no-op)."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=7, partitions=8)
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    table = MergeTable(spark, root, n_buckets=8)
+    replay_range(spark, changes, table, 0, n - 1, partition_size=2500)
+    # replay idempotence: merging an already-committed range changes nothing
+    replay_range(spark, changes, table, 0, 2499, partition_size=2500)
+    return table.read().drop("__bucket")
+
+
+def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-tail streaming with checkpoint resume: two Streamer instances
+    share one checkpoint; the second resumes where the first stopped."""
+    _utc(spark)
+    n = 6000
+    changes = generate_repo_changes(spark, n, seed=11, partitions=8)
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    table = MergeTable(spark, root, n_buckets=8)
+    src = TailSource(spark, changes, lag=0, batch_size=1500)
+    s1 = Streamer(spark, src, table, ckpt, start_seq=0)
+    s1.run_until_head(max_cycles=2)  # "crash" after 2 micro-batches
+    s2 = Streamer(spark, src, table, ckpt)  # resume from checkpoint
+    s2.run_until_head()
+    return table.read().drop("__bucket")
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    media = synthesize_media(spark, 300)
+    return extract_image_features(media, feat_dim=16)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    media = synthesize_media(spark, 300)
+    return sample_frames(media, every_ms=1000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "latest_event_per_user": q_latest_event_per_user,
+        "running_balance": q_running_balance,
+        "prev_value_asof": q_prev_value_asof,
+        "salted_user_totals": q_salted_user_totals,
+        "daily_rollup": q_daily_rollup,
+        "windowed_event_rollup": q_windowed_event_rollup,
+        "purchase_filter_pushdown": q_purchase_filter_pushdown,
+        "token_transfer_decode": q_token_transfer_decode,
+        "abi_event_decode": q_abi_event_decode,
+        "contract_classify": q_contract_classify,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_pairs": q_dedup_ngram_pairs,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_bucket_keys": q_lsh_bucket_keys,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_stream_resume": q_cdc_stream_resume,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rev = "SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))"
+    price = "CAST(l_extendedprice AS DECIMAL(8,2))"
+    one = "CAST(1 AS DECIMAL(8,2))"
+    disc = "CAST(l_discount AS DECIMAL(8,2))"
+    tax = "CAST(l_tax AS DECIMAL(8,2))"
+    vdec = "CAST(CAST(value AS DECIMAL(8,2)) AS VARCHAR)"
+
+    erc20_csv = ",".join(sorted(ERC20_REQUIRED))
+    lang_scores, lang_case = _sql_lang_pred("padded")
+    quality = (
+        "(least(length(text)::DOUBLE/500.0, 1.0) + "
+        "CASE WHEN length(text) > 0 THEN length(regexp_replace(text,'[^A-Za-z]','','g'))::DOUBLE/length(text)::DOUBLE ELSE 0.0 END + "
+        "(1.0 - least(CASE WHEN length(text) > 0 THEN length(regexp_replace(text,'[^.,;:!?]','','g'))::DOUBLE/length(text)::DOUBLE ELSE 0.0 END * 5.0, 1.0))) / 3.0"
+    )
+    # minhash signature: 16 salted min-digests over distinct 8-char shingles
+    shingles = (
+        "list_distinct(list_transform(range(1, greatest(length(text)-7, 0)+1), "
+        "i -> substr(text, i, 8)))"
+    )
+    digs = (
+        "list_transform(shingles, s -> "
+        + " || ".join(f"md5('{d}:' || s)" for d in range(4))
+        + ")"
+    )
+    sig_elems = ", ".join(
+        f"list_min(list_transform(digs, h -> substr(h, {j * 8 + 1}, 8)))"
+        for j in range(16)
+    )
+    band_keys = ", ".join(
+        f"md5('{b}' || '|' || array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|'))"
+        for b in range(4)
+    )
+    jacc = (
+        "len(list_intersect(a.shingles, b.shingles))::DOUBLE / "
+        "len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE"
+    )
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(len(toks)-1, 0)+1), "
+        "i -> array_to_string(toks[i:i+1], ' ')))"
+    )
+    jacc_g = (
+        "len(list_intersect(a.grams, b.grams))::DOUBLE / "
+        "len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE"
+    )
+    fingerprint = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+        "'\\s+', ' ', 'g')))"
+    )
+    tokens_ws = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT"
+    )
+
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_sql_dstr("SUM(CAST(l_quantity AS DECIMAL(8,2)))")} AS sum_qty,
+                   {_sql_dstr(f"SUM({price})")} AS sum_base_price,
+                   {_sql_dstr(f"SUM({price} * ({one} - {disc}))", 4)} AS sum_disc_price,
+                   {_sql_dstr(f"SUM({price} * ({one} - {disc}) * ({one} + {tax}))", 6)} AS sum_charge,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, order_date, {_sql_dstr("_rev", 4)} AS revenue FROM (
+                SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, {rev} AS _rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+                  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+                GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+                ORDER BY _rev DESC, l_orderkey ASC
+                LIMIT 10)
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name, {_sql_dstr("_rev", 4)} AS revenue FROM (
+                SELECT n_name, {rev} AS _rev
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY n_name)
+        """,
+        "latest_event_per_user": f"""
+            SELECT user_id, event_id, event_type, {vdec} AS value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "running_balance": """
+            SELECT event_id, user_id,
+                   CAST(CAST(SUM(delta) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS VARCHAR) AS balance
+            FROM (SELECT event_id, user_id,
+                         CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(8,2))
+                              ELSE -CAST(value AS DECIMAL(8,2)) END AS delta
+                  FROM events)
+        """,
+        "prev_value_asof": """
+            SELECT event_id, user_id,
+                   CAST(CAST(lag(CAST(value AS DECIMAL(8,2))) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS DECIMAL(38,2)) AS VARCHAR) AS prev_value
+            FROM events
+        """,
+        "salted_user_totals": f"""
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total,
+                   {_sql_dstr("MAX(CAST(value AS DECIMAL(8,2)))")} AS max_value
+            FROM events GROUP BY user_id
+        """,
+        "daily_rollup": f"""
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
+                   {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "windowed_event_rollup": f"""
+            SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id, event_type,
+                   count(*)::BIGINT AS n,
+                   {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
+            FROM events GROUP BY 1, 2
+        """,
+        "purchase_filter_pushdown": f"""
+            SELECT event_id, user_id, {vdec} AS value
+            FROM events WHERE event_type = 'purchase' AND value > 15.0
+        """,
+        "token_transfer_decode": f"""
+            SELECT token_address, from_address, to_address,
+                   CAST({_sql_hex_to_hugeint("vhex", 24)} AS VARCHAR) AS value,
+                   '0x' || repeat('0', 40) || vhex AS value_hex,
+                   transaction_hash, log_index, block_number
+            FROM ({_SQL_TRANSFER_LOG_BASE})
+        """,
+        "abi_event_decode": f"""
+            SELECT 'Deposit' AS event_type,
+                   '0x' || {_sql_a40("pool:", "event_id % 7")} AS contract_address,
+                   '0x' || md5('tx:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+                   (event_id % 1000)::BIGINT AS log_index,
+                   (event_id // 10)::BIGINT AS block_number,
+                   '0x' || {_sql_a40("user:", "user_id")} AS user,
+                   CAST({_sql_hex_to_hugeint("substr(md5('amt:' || CAST(event_id AS VARCHAR)), 1, 24)", 24)} AS VARCHAR) AS amount,
+                   CAST({_sql_hex_to_hugeint("substr(md5('sh:' || CAST(event_id AS VARCHAR)), 1, 16)", 16)} AS VARCHAR) AS shares
+            FROM events
+            WHERE event_id % 4 <> 1 AND event_id % 9 <> 2
+        """,
+        "contract_classify": f"""
+            SELECT p_partkey,
+                   CASE p_partkey % 4 WHEN 0 THEN '{erc20_csv}'
+                                      WHEN 1 THEN '0x6352211e,0x70a08231'
+                                      WHEN 2 THEN '0xa9059cbb'
+                                      ELSE '' END AS sighashes_csv,
+                   p_partkey % 4 = 0 AS is_erc20,
+                   p_partkey % 4 = 1 AS is_erc721
+            FROM part
+        """,
+        "dedup_exact": f"""
+            SELECT md5(text) AS digest, min(doc_id) AS doc_id,
+                   count(*)::BIGINT AS n_copies
+            FROM ({_SQL_CORPUS}) GROUP BY 1
+        """,
+        "dedup_fingerprint": f"""
+            SELECT {fingerprint} AS fp, min(doc_id) AS doc_id,
+                   count(*)::BIGINT AS n_docs
+            FROM ({_SQL_CORPUS}) GROUP BY 1
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH c AS ({_SQL_CORPUS}),
+            base AS (SELECT doc_id AS id, {shingles} AS shingles FROM c),
+            sigs AS (SELECT id, shingles, [{sig_elems}] AS sig
+                     FROM (SELECT id, shingles, {digs} AS digs FROM base)),
+            banded AS (SELECT id, shingles, unnest([{band_keys}]) AS band_key FROM sigs)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   {_sql_dstr(jacc, 6)} AS jaccard
+            FROM banded a JOIN banded b
+              ON a.band_key = b.band_key AND a.id < b.id
+            WHERE {jacc} >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH c AS ({_SQL_CORPUS}),
+            tok AS (SELECT doc_id, list_transform(
+                        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> length(t) > 0), t -> md5(t)) AS hs
+                    FROM c),
+            sh AS (SELECT doc_id, {_sql_simhash("hs", 16)} AS simhash FROM tok)
+            SELECT simhash, min(doc_id) AS doc_id, count(*)::BIGINT AS n_docs
+            FROM sh GROUP BY simhash
+        """,
+        "dedup_ngram_pairs": f"""
+            WITH c AS ({_SQL_CORPUS}),
+            base AS (SELECT doc_id AS id, lang, source, {grams} AS grams FROM (
+                SELECT doc_id, lang, source,
+                       list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   t -> length(t) > 0) AS toks
+                FROM c))
+            SELECT a.id AS id_a, b.id AS id_b, {_sql_dstr(jacc_g, 6)} AS jaccard
+            FROM base a JOIN base b
+              ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+            WHERE {jacc_g} >= 0.5
+        """,
+        "text_stats": f"""
+            SELECT doc_id, sha256(text) AS sha256,
+                   {tokens_ws} AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct,
+                   CAST(CAST({quality} AS DECIMAL(18,6)) AS VARCHAR) AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+            s AS (SELECT doc_id, {lang_scores} FROM d)
+            SELECT doc_id, {lang_case} AS lang_pred FROM s
+        """,
+        "ann_topk_brute": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                              {_sql_cos("e.embedding", "q.qv")} AS cos
+                       FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT query_id, neighbor_id, rnk,
+                   CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM ranked WHERE rnk <= 5
+        """,
+        "ann_topk_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding,
+                              {_sql_lsh_bucket("embedding", 6)} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+                  FROM e WHERE vec_id < 3),
+            scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                              {_sql_cos("e.embedding", "q.qv")} AS cos
+                       FROM e JOIN q ON e.bucket = q.bucket
+                       WHERE e.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT query_id, neighbor_id, rnk,
+                   CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM ranked WHERE rnk <= 5
+        """,
+        "embedding_near_dup": f"""
+            WITH allv AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding, label
+                FROM embeddings WHERE vec_id % 10 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(CAST({_sql_cos("a.embedding", "b.embedding")} AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM allv a JOIN allv b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.9
+        """,
+        "lsh_bucket_keys": f"""
+            SELECT vec_id, {_sql_lsh_bucket("embedding", 8)} AS bucket
+            FROM embeddings
+        """,
+        # cdc_replay_final_state / cdc_stream_resume /
+        # multimodal_image_features / multimodal_frame_sample: intentionally
+        # omitted — full-engine (merge snapshots, checkpoint files) and
+        # mapInPandas media kernels are not SQL-expressible; the driver
+        # records the weaker rows-only check for them.
+    }

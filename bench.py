@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: end-to-end CDC replay throughput (change-events/sec) — the
+BASELINE.json metric — measured as a full replay of a deterministic
+synthetic change log (rows scaled to the SF of $SPARK_GRAFT_SF_DIR) through
+normalize -> idempotent bucketed MERGE, plus per-microbatch merge latency.
+
+Also times a representative subset of the __spark_entry__ queries at the
+same SF (forced with the noop sink so the full plan executes without
+driver-side collection).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32; also used for local[N] master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from ethereum_etl_spark.plans.merge import MergeTable
+from ethereum_etl_spark.plans.replay import replay_range, replay_throughput
+from ethereum_etl_spark.session import get_spark
+from ethereum_etl_spark.sources.datagen import write_repo_changes
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "latest_event_per_user",
+    "running_balance",
+    "salted_user_totals",
+    "windowed_event_rollup",
+    "token_transfer_decode",
+    "abi_event_decode",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_stats",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+]
+
+# change-log rows per unit SF: sf0.1 -> 1,000,000 events
+ROWS_PER_SF = 10_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # ---- fixture prep (excluded from timing): materialize the change log ----
+    log_dir = tempfile.mkdtemp(prefix="bench_changelog_")
+    write_repo_changes(spark, log_dir, n_rows, seed=42, partitions=cpus * 2)
+
+    # ---- headline: full replay (bulk backfill, one merge) ----
+    table_root = tempfile.mkdtemp(prefix="bench_table_")
+    table = MergeTable(spark, table_root, n_buckets=cpus * 2)
+    t0 = time.time()
+    metrics = replay_range(spark, log_dir, table, 0, n_rows - 1, partition_size=None)
+    replay_sec = time.time() - t0
+    summary = replay_throughput(metrics)
+
+    # ---- merge-apply latency: incremental micro-batches into the same table ----
+    micro_root = tempfile.mkdtemp(prefix="bench_micro_")
+    micro = MergeTable(spark, micro_root, n_buckets=cpus * 2)
+    batch = max(n_rows // 8, 1)
+    t0 = time.time()
+    mm = replay_range(
+        spark, log_dir, micro, 0, n_rows - 1, partition_size=batch, batch_prefix="micro"
+    )
+    micro_sec = time.time() - t0
+    merge_latency = sum(m.seconds for m in mm) / len(mm)
+
+    # ---- query timings at the SF dir ----
+    qfns = entry_mod.queries()
+    qsecs: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qfns[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        qsecs[name] = round(time.time() - t0, 3)
+
+    total = round(replay_sec + micro_sec + sum(qsecs.values()), 3)
+    out = {
+        "metric": "cdc_replay_and_query_bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qsecs,
+        "sf": sf,
+        "cdc_replay": {
+            "events": n_rows,
+            "replay_sec": round(replay_sec, 3),
+            "events_per_sec": round(n_rows / replay_sec, 1),
+            "micro_batches": len(mm),
+            "micro_total_sec": round(micro_sec, 3),
+            "merge_latency_avg_sec": round(merge_latency, 3),
+            "micro_events_per_sec": round(n_rows / micro_sec, 1),
+        },
+        "cpus": cpus,
+        "engine_summary": summary,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,12 +45,12 @@ def token_count(col: Column) -> Column:
 
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish subword-unit count: runs of letters, runs of digits, or single
-    non-space symbols — a deterministic stand-in for a real tokenizer."""
+    non-space symbols — a deterministic stand-in for a real tokenizer.
+
+    RE2-compatible pattern (no lookarounds) so the exact same regex runs in
+    the DuckDB oracle."""
     return F.size(
-        F.filter(
-            F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: (F.length(t) > 0) & (t != " "),
-        )
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
     ).cast("long")
 
 
@@ -97,7 +97,10 @@ def quality_score(col: Column) -> Column:
     punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))
-    return F.round((len_score + alpha_ratio + punct_score) / F.lit(3.0), 6)
+    # raw double, no rounding: every op here is a single correctly-rounded
+    # IEEE op, so the value is bit-identical across engines (the oracle
+    # compares via a fixed-scale decimal cast)
+    return (len_score + alpha_ratio + punct_score) / F.lit(3.0)
 
 
 def text_fingerprint(col: Column) -> Column:

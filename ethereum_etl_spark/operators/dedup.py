@@ -51,13 +51,22 @@ def char_shingles(col: Column, k: int = 8) -> Column:
 
 
 def minhash_signature(col: Column, n_hashes: int = 16, k: int = 8) -> Column:
-    """Array of ``n_hashes`` min-digests over the shingle set."""
+    """Array of ``n_hashes`` min-hash values over the shingle set.
+
+    Cost shape: each shingle is digested ``ceil(n_hashes/4)`` times (one
+    salted md5 yields four independent 8-hex-char hash slices), then the
+    per-seed minima are cheap substring scans over the precomputed digest
+    array — 4x fewer digest evaluations than one-md5-per-seed."""
     sh = char_shingles(col, k)
-
-    def _salted_md5(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
-
-    mins = [F.array_min(F.transform(sh, _salted_md5(seed))) for seed in range(n_hashes)]
+    n_digests = (n_hashes + 3) // 4
+    digests = F.transform(
+        sh,
+        lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{d}:"), s)) for d in range(n_digests)]),
+    )
+    mins = [
+        F.array_min(F.transform(digests, lambda h, j=j: F.substring(h, j * 8 + 1, 8)))
+        for j in range(n_hashes)
+    ]
     return F.array(*mins)
 
 
@@ -102,6 +111,10 @@ def minhash_lsh_pairs(
     banded = base.withColumn(
         "band_key", F.explode(minhash_band_keys(F.col("sig"), bands, rows_per_band))
     ).select("id", "shingles", "band_key")
+    # the self-join reads this projection twice — cache it so signatures are
+    # computed once (at cluster scale: materialize the signature table to
+    # parquet/Iceberg instead and bucket it by band_key)
+    banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -144,13 +157,27 @@ def simhash_bits(col: Column, bits: int = 16) -> Column:
     """
     toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
     hashes = F.transform(toks, lambda t: F.md5(t))
-    def _merge_fn(jj: int):
-        return lambda acc, h: acc + (_hex_digit_bit(h, jj) * 2 - 1).cast("long")
 
+    # ONE aggregate pass with a struct accumulator of per-bit vote counters:
+    # each token is digested exactly once (the digest array is materialized
+    # by the transform above), instead of one aggregate — and one md5 pass —
+    # per bit
+    acc0 = F.struct(*[F.lit(0).cast("long").alias(f"b{j}") for j in range(bits)])
+
+    def _merge(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                (acc[f"b{j}"] + (_hex_digit_bit(h, j) * 2 - 1).cast("long")).alias(f"b{j}")
+                for j in range(bits)
+            ]
+        )
+
+    votes = F.aggregate(hashes, acc0, _merge)
     out = F.lit(0).cast("long")
     for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _merge_fn(j))
-        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.when(votes[f"b{j}"] > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return out
 
 

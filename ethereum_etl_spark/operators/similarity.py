@@ -39,12 +39,43 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+# ---------------- portable (oracle-stable) variants ----------------
+#
+# Float reductions are order-sensitive, so a double-summed cosine is not
+# bit-reproducible across engines. The portable variants quantize each
+# product to DECIMAL(18,6) (a deterministic function of the IEEE double
+# product in both Spark and DuckDB) and sum exactly in decimal — identical
+# results in any engine, at a precision far beyond what ranking needs.
+# Hot-path code keeps the float version; correctness-gated queries use this.
+
+def dot_dec(a: Column, b: Column) -> Column:
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(18,6)")
+    )
+    return F.aggregate(prods, F.lit(0).cast("decimal(38,6)"), lambda acc, v: acc + v)
+
+
+def norm2_dec(a: Column) -> Column:
+    sq = F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast("decimal(18,6)"))
+    return F.aggregate(sq, F.lit(0).cast("decimal(38,6)"), lambda acc, v: acc + v)
+
+
+def cosine_portable(a: Column, b: Column) -> Column:
+    denom = F.sqrt(norm2_dec(a).cast("double")) * F.sqrt(norm2_dec(b).cast("double"))
+    return F.when(denom > 0, dot_dec(a, b).cast("double") / denom).otherwise(F.lit(0.0))
+
+
+def _default_score(a: Column, b: Column) -> Column:
+    return F.round(cosine(a, b), 8)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_fn=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -52,6 +83,7 @@ def brute_force_topk(
     place — the join is a broadcast nested loop over a *small* query set,
     the industry-standard exact baseline.
     """
+    score_fn = score_fn or _default_score
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -62,7 +94,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 8).alias("cos_sim"),
+            score_fn(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -76,29 +108,25 @@ def sign_lsh_key(vec: Column, bits: int = 8) -> Column:
     seeded pseudo-random projection that both Spark and an ANSI-SQL oracle
     can reproduce exactly. Key = bit string of projection signs.
     """
-    def _merge(jj: int):
-        def merge(acc, v):
-            sign = F.when(
+    def bit(j: int) -> Column:
+        # transform with (element, 0-based index); hyperplane component sign
+        # = parity of the first hex digit of md5("j:i")
+        signed = F.transform(
+            vec,
+            lambda x, i: F.when(
                 F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(str(jj)), acc["i"].cast("string"))), 1, 1),
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), i.cast("string"))), 1, 1),
                     16,
                     10,
                 ).cast("int")
                 % 2
                 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            return F.struct((acc["s"] + v * sign).alias("s"), (acc["i"] + 1).alias("i"))
-
-        return merge
-
-    def bit(j: int) -> Column:
-        proj = F.aggregate(
-            vec,
-            F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("i")),
-            _merge(j),
-            lambda acc: acc["s"],
+                x.cast("double"),
+            )
+            .otherwise(-x.cast("double"))
+            .cast("decimal(18,6)"),
         )
+        proj = F.aggregate(signed, F.lit(0).cast("decimal(38,6)"), lambda acc, v: acc + v)
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[bit(j) for j in range(bits)])
@@ -111,6 +139,7 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    score_fn=None,
 ) -> DataFrame:
     """ANN top-k: candidates share the sign-LSH bucket, exact cosine re-rank.
 
@@ -127,13 +156,14 @@ def lsh_topk(
         F.col(vec_col).alias("query_vec"),
         sign_lsh_key(F.col(vec_col), bits).alias("bucket"),
     )
+    score_fn = score_fn or _default_score
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("query_vec"), F.col("vec")), 8).alias("cos_sim"),
+            score_fn(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -147,6 +177,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    score_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
     bucket by sign-LSH (or a metadata block), pairwise cosine within bucket.
@@ -156,13 +187,14 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         (F.col(block_col) if block_col else sign_lsh_key(F.col(vec_col), bits)).alias("bucket"),
     )
+    score_fn = score_fn or _default_score
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 8).alias("cos_sim"),
+            score_fn(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -41,7 +41,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "__bucket"
@@ -184,45 +184,52 @@ class MergeTable:
         #    is the full merge key (repo,path,commit) — high cardinality, so
         #    hot repos don't create hot partitions here; repo-level skew is
         #    handled by salting in pre-aggregations (operators/skew.py).
+        #    rows_in comes from an Observation on the input plan (no extra
+        #    job); touched buckets + deduped count come from ONE aggregation
+        #    over the persisted dedup result — the batch plan (incl. the
+        #    normalize pandas UDF upstream) is evaluated exactly once.
+        obs = Observation()
+        observed = batch.observe(obs, F.count(F.lit(1)).alias("rows_in"))
         w = Window.partitionBy(*self.merge_keys).orderBy(F.col(self.order_col).desc())
         deduped = (
-            batch.withColumn(_RN_COL, F.row_number().over(w))
+            observed.withColumn(_RN_COL, F.row_number().over(w))
             .filter(F.col(_RN_COL) == 1)
             .drop(_RN_COL)
             .withColumn(_BUCKET_COL, self._bucket_expr(batch))
         )
-        rows_in = batch.count()
         deduped = deduped.persist()
         try:
-            touched = sorted(
-                r[0] for r in deduped.select(_BUCKET_COL).distinct().collect()
-            )
-            rows_dedup = deduped.count()
+            bucket_stats = deduped.groupBy(_BUCKET_COL).count().collect()
+            touched = sorted(int(r[0]) for r in bucket_stats)
+            rows_dedup = int(sum(r[1] for r in bucket_stats))
+            rows_in = int(obs.get["rows_in"]) if bucket_stats else 0
 
             old_buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
             existing_paths = [p for b in touched for p in old_buckets.get(str(b), [])]
 
-            new_part = deduped.withColumn(_IS_NEW_COL, F.lit(1))
             if existing_paths:
+                # 2. resolve winners: latest order_col, prefer the incoming
+                #    row on ties (CDC replace_one semantics, mongo_db.py:72-83)
+                new_part = deduped.withColumn(_IS_NEW_COL, F.lit(1))
                 existing = self.spark.read.option("mergeSchema", "true").parquet(*existing_paths)
                 # bucket value is derivable from the key; recompute rather
                 # than trusting directory names (survives schema drift)
                 existing = existing.withColumn(_BUCKET_COL, self._bucket_expr(existing))
                 existing = existing.withColumn(_IS_NEW_COL, F.lit(0))
                 merged = new_part.unionByName(existing, allowMissingColumns=True)
+                wk = Window.partitionBy(*self.merge_keys).orderBy(
+                    F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
+                )
+                resolved = (
+                    merged.withColumn(_RN_COL, F.row_number().over(wk))
+                    .filter(F.col(_RN_COL) == 1)
+                    .drop(_RN_COL, _IS_NEW_COL)
+                )
             else:
-                merged = new_part
-
-            # 2. resolve winners: latest order_col, prefer the incoming row on
-            #    ties (CDC replace_one semantics, mongo_db.py:72-83)
-            wk = Window.partitionBy(*self.merge_keys).orderBy(
-                F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
-            )
-            resolved = (
-                merged.withColumn(_RN_COL, F.row_number().over(wk))
-                .filter(F.col(_RN_COL) == 1)
-                .drop(_RN_COL, _IS_NEW_COL)
-            )
+                # bulk-load fast path: nothing to resolve against — the
+                # in-batch dedup already guarantees one row per key, so the
+                # resolve shuffle is skipped entirely
+                resolved = deduped
 
             # 3. write new files for touched buckets only
             out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
