@@ -37,7 +37,11 @@ from ethereum_etl_spark.functions.text import (
     token_count,
     _LANG_HINTS,
 )
-from ethereum_etl_spark.operators.balances import running_balances, transfers_to_deltas
+from ethereum_etl_spark.operators.balances import (
+    balance_map_fold,
+    running_balances,
+    transfers_to_deltas,
+)
 from ethereum_etl_spark.operators.contracts import ERC20_REQUIRED, classify_contracts
 from ethereum_etl_spark.operators.dedup import (
     exact_dedup,
@@ -59,6 +63,7 @@ from ethereum_etl_spark.operators.similarity import (
     sign_lsh_key,
 )
 from ethereum_etl_spark.operators.skew import salted_aggregate
+from ethereum_etl_spark.operators.traces import flatten_geth_traces
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
 from ethereum_etl_spark.plans.merge import MergeTable
 from ethereum_etl_spark.plans.replay import replay_range
@@ -75,6 +80,16 @@ D82 = "decimal(8,2)"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread: the small single-file test tables arrive as ONE input
+    split, which would serialize expression-heavy per-row operators (sketches,
+    decoders) onto one core. At production scale the table has thousands of
+    files/splits and this repartition is unnecessary — here it stands in for
+    that natural parallelism."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(n)
 
 
 def _utc(spark: SparkSession) -> None:
@@ -464,6 +479,30 @@ def q_windowed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_range_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 analog: timestamp->seq-range index via min/max aggregation — the
+    declarative replacement for the reference's interpolation search
+    (services/graph_operations.py:27-110)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_daily_checkpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F10 analog: at-most-once-per-day gate — the first event of each
+    UTC day (export_knowledge_graph_needed_common.py:183-198)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
+
+
 def q_purchase_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
@@ -474,7 +513,7 @@ def q_purchase_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    logs = _synth_transfer_logs(_t(spark, sf_dir, "events"))
+    logs = _synth_transfer_logs(_tp(spark, sf_dir, "events"))
     out = extract_token_transfers(logs)
     return out.select(
         "token_address",
@@ -490,8 +529,57 @@ def q_token_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_abi_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    logs = _synth_event_logs(_t(spark, sf_dir, "events"))
+    logs = _synth_event_logs(_tp(spark, sf_dir, "events"))
     return decode_events(logs, _DEPOSIT_ABI)
+
+
+def _synth_trace_json(eid) -> F.Column:
+    """Deterministic geth callTracer tree: root -> k=eid%3 children, each
+    with j=eid%2 grandchildren — closed-form, so the oracle can enumerate
+    the expected flattened rows without recursion."""
+    e = eid.cast("string")
+    rf = F.concat(F.lit("0xf"), e)
+    rt = F.concat(F.lit("0xt"), e)
+    vhex = F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("v:"), e)), 1, 8))
+    k, j = eid % 3, eid % 2
+
+    def child(i: int) -> F.Column:
+        ct = F.concat(F.lit("0xc"), e, F.lit(f"_{i}"))
+        gt = F.concat(F.lit("0xg"), e, F.lit(f"_{i}_0"))
+        grand = F.concat(
+            F.lit('{"type":"staticcall","from":"'), ct, F.lit('","to":"'), gt, F.lit('"}')
+        )
+        base = F.concat(F.lit('{"type":"call","from":"'), rt, F.lit('","to":"'), ct, F.lit('"'))
+        return F.when(
+            j == 1, F.concat(base, F.lit(',"calls":['), grand, F.lit("]}"))
+        ).otherwise(F.concat(base, F.lit("}")))
+
+    calls = (
+        F.when(k == 0, F.lit(""))
+        .when(k == 1, F.concat(F.lit(',"calls":['), child(0), F.lit("]")))
+        .otherwise(F.concat(F.lit(',"calls":['), child(0), F.lit(","), child(1), F.lit("]")))
+    )
+    return F.concat(
+        F.lit('{"type":"call","from":"'), rf, F.lit('","to":"'), rt,
+        F.lit('","value":"'), vhex, F.lit('"'), calls, F.lit("}"),
+    )
+
+
+def q_trace_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: recursive call-tree flatten (mapInPandas kernel) over a
+    deterministic tree per event; the oracle enumerates the same frames
+    closed-form (root + children + grandchildren unions)."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    traces = ev.select(
+        (eid / 10).cast("long").alias("block_number"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx:"), eid.cast("string")))).alias(
+            "transaction_hash"
+        ),
+        _synth_trace_json(eid).alias("trace_json"),
+    )
+    return flatten_geth_traces(traces)
 
 
 def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,15 +601,58 @@ def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_metadata_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S7: broadcast-join transfers with a token-metadata dim, first-non-
+    null symbol via coalesce (eth_token_service.py:48-71 _get_first_result)."""
+    _utc(spark)
+    tx = extract_token_transfers(_synth_transfer_logs(_tp(spark, sf_dir, "events")))
+    tid = F.col("id").cast("int")
+    dim = spark.range(20).select(
+        F.concat(F.lit("0x"), _a40("token:", F.col("id"))).alias("token_address"),
+        F.when(tid % 3 != 0, F.concat(F.lit("tk"), tid.cast("string"))).alias("symbol"),
+        F.concat(F.lit("TK"), tid.cast("string")).alias("symbol_alt"),
+        (tid % 18).alias("decimals"),
+    )
+    return (
+        tx.join(F.broadcast(dim), "token_address", "left")
+        .select(
+            "token_address",
+            "transaction_hash",
+            "log_index",
+            F.coalesce(F.col("symbol"), F.col("symbol_alt")).alias("symbol"),
+            "decimals",
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+
+
+def q_wallet_balance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+J1: transfers -> signed deltas -> running balances (window
+    cumsum) -> per-wallet {token: balance} fold, rendered as a sorted
+    'token:balance' string for engine-portable comparison."""
+    _utc(spark)
+    tx = extract_token_transfers(_synth_transfer_logs(_tp(spark, sf_dir, "events")))
+    fold = balance_map_fold(running_balances(transfers_to_deltas(tx)))
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("balance"))),
+        lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+    )
+    return fold.select(
+        "address",
+        F.concat_ws(",", entries).alias("balances"),
+        "at_block_number",
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents"))
     return exact_dedup(corpus, "doc_id", "text")
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents"))
     return (
         corpus.withColumn("fp", text_fingerprint(F.col("text")))
         .groupBy("fp")
@@ -531,27 +662,27 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    corpus = _dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
     pairs = minhash_lsh_pairs(corpus, "doc_id", "text", n_hashes=16, bands=4, k=8, threshold=0.5)
     return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    corpus = _dedup_corpus(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
     return simhash_dedup(corpus, "doc_id", "text", bits=16)
 
 
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    corpus = _dedup_corpus(_t(spark, sf_dir, "documents"))
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", ["lang", "source"], n=2, threshold=0.5)
     return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -566,13 +697,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", simple_lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     out = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 3), k=5, score_fn=cosine_portable
     )
@@ -586,7 +717,7 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     out = lsh_topk(
         emb, emb.filter(F.col("vec_id") < 3), k=5, bits=6, score_fn=cosine_portable
     )
@@ -600,7 +731,7 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 10000
     )
@@ -615,7 +746,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return emb.select("vec_id", sign_lsh_key(F.col("embedding"), bits=8).alias("bucket"))
 
 
@@ -675,10 +806,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_totals": q_salted_user_totals,
         "daily_rollup": q_daily_rollup,
         "windowed_event_rollup": q_windowed_event_rollup,
+        "seq_range_by_day": q_seq_range_by_day,
+        "daily_checkpoint_gate": q_daily_checkpoint_gate,
         "purchase_filter_pushdown": q_purchase_filter_pushdown,
         "token_transfer_decode": q_token_transfer_decode,
         "abi_event_decode": q_abi_event_decode,
+        "trace_flatten": q_trace_flatten,
         "contract_classify": q_contract_classify,
+        "token_metadata_enrich": q_token_metadata_enrich,
+        "wallet_balance_fold": q_wallet_balance_fold,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -834,6 +970,16 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
             FROM events GROUP BY 1, 2
         """,
+        "seq_range_by_day": """
+            SELECT CAST(ts AS DATE) AS day, min(event_id) AS min_seq,
+                   max(event_id) AS max_seq, count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        """,
+        "daily_checkpoint_gate": """
+            SELECT CAST(ts AS DATE) AS day, min(event_id) AS first_event_id,
+                   arg_min(event_type, event_id) AS first_event_type
+            FROM events GROUP BY 1
+        """,
         "purchase_filter_pushdown": f"""
             SELECT event_id, user_id, {vdec} AS value
             FROM events WHERE event_type = 'purchase' AND value > 15.0
@@ -857,6 +1003,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 4 <> 1 AND event_id % 9 <> 2
         """,
+        "trace_flatten": """
+            WITH base AS (
+                SELECT event_id, (event_id // 10)::BIGINT AS block_number,
+                       '0x' || md5('tx:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+                       '0xf' || CAST(event_id AS VARCHAR) AS rf,
+                       '0xt' || CAST(event_id AS VARCHAR) AS rt,
+                       '0x' || substr(md5('v:' || CAST(event_id AS VARCHAR)), 1, 8) AS vhex,
+                       (event_id % 3)::INT AS k, (event_id % 2)::INT AS j
+                FROM events)
+            SELECT block_number, transaction_hash, '' AS trace_address, 0::INT AS depth,
+                   k AS subtraces, 'call' AS trace_type, rf AS from_address,
+                   rt AS to_address, vhex AS value_hex,
+                   NULL::VARCHAR AS gas_hex, NULL::VARCHAR AS error
+            FROM base
+            UNION ALL
+            SELECT block_number, transaction_hash, CAST(i AS VARCHAR), 1::INT,
+                   j, 'call', rt,
+                   '0xc' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+                   NULL, NULL, NULL
+            FROM base, unnest(range(k)) AS t(i)
+            UNION ALL
+            SELECT block_number, transaction_hash, CAST(i AS VARCHAR) || ',0', 2::INT,
+                   0::INT, 'staticcall',
+                   '0xc' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+                   '0xg' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_0',
+                   NULL, NULL, NULL
+            FROM base, unnest(range(k)) AS t(i)
+            WHERE j = 1
+        """,
         "contract_classify": f"""
             SELECT p_partkey,
                    CASE p_partkey % 4 WHEN 0 THEN '{erc20_csv}'
@@ -866,6 +1041,42 @@ def oracle_sql() -> dict[str, str]:
                    p_partkey % 4 = 0 AS is_erc20,
                    p_partkey % 4 = 1 AS is_erc721
             FROM part
+        """,
+        "token_metadata_enrich": f"""
+            WITH t AS (
+                SELECT token_address, transaction_hash, log_index,
+                       CAST({_sql_hex_to_hugeint("vhex", 24)} AS VARCHAR) AS value
+                FROM ({_SQL_TRANSFER_LOG_BASE})),
+            dim AS (
+                SELECT '0x' || {_sql_a40("token:", "i")} AS token_address,
+                       CASE WHEN i % 3 <> 0 THEN 'tk' || CAST(i AS VARCHAR) END AS symbol,
+                       'TK' || CAST(i AS VARCHAR) AS symbol_alt,
+                       (i % 18)::INT AS decimals
+                FROM unnest(range(20)) AS r(i))
+            SELECT t.token_address, t.transaction_hash, t.log_index,
+                   coalesce(dim.symbol, dim.symbol_alt) AS symbol,
+                   dim.decimals, t.value
+            FROM t LEFT JOIN dim ON t.token_address = dim.token_address
+        """,
+        "wallet_balance_fold": f"""
+            WITH t AS (
+                SELECT from_address, to_address, token_address, block_number,
+                       {_sql_hex_to_hugeint("vhex", 24)} AS value
+                FROM ({_SQL_TRANSFER_LOG_BASE})),
+            d AS (
+                SELECT from_address AS address, token_address, -value AS delta,
+                       block_number FROM t
+                UNION ALL
+                SELECT to_address, token_address, value, block_number FROM t),
+            per AS (
+                SELECT address, token_address, SUM(delta) AS bal,
+                       MAX(block_number) AS maxb
+                FROM d GROUP BY 1, 2)
+            SELECT address,
+                   string_agg(token_address || ':' || CAST(bal AS VARCHAR), ','
+                              ORDER BY token_address) AS balances,
+                   MAX(maxb)::BIGINT AS at_block_number
+            FROM per GROUP BY address
         """,
         "dedup_exact": f"""
             SELECT md5(text) AS digest, min(doc_id) AS doc_id,

@@ -63,10 +63,13 @@ def minhash_signature(col: Column, n_hashes: int = 16, k: int = 8) -> Column:
         sh,
         lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{d}:"), s)) for d in range(n_digests)]),
     )
-    mins = [
-        F.array_min(F.transform(digests, lambda h, j=j: F.substring(h, j * 8 + 1, 8)))
-        for j in range(n_hashes)
-    ]
+    def _slice(j: int):
+        # NOTE: must be a closure factory — a `lambda h, j=j:` default-arg
+        # would make PySpark bind j as the (element, index) lambda's INDEX
+        # argument, silently corrupting the signature
+        return lambda h: F.substring(h, j * 8 + 1, 8)
+
+    mins = [F.array_min(F.transform(digests, _slice(j))) for j in range(n_hashes)]
     return F.array(*mins)
 
 
@@ -80,9 +83,12 @@ def minhash_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two string arrays (distinct semantics)."""
+    """Exact Jaccard over two DISTINCT-element string arrays.
+
+    |A∪B| is derived as |A|+|B|−|A∩B| — one hash-set build per pair instead
+    of two (array_union was the measured hotspot of LSH verification)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -108,27 +114,39 @@ def minhash_lsh_pairs(
         char_shingles(F.col(text_col), k).alias("shingles"),
         minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
     )
-    banded = base.withColumn(
-        "band_key", F.explode(minhash_band_keys(F.col("sig"), bands, rows_per_band))
-    ).select("id", "shingles", "band_key")
-    # the self-join reads this projection twice — cache it so signatures are
-    # computed once (at cluster scale: materialize the signature table to
-    # parquet/Iceberg instead and bucket it by band_key)
-    banded = banded.persist()
+    # cached: read once for band keys, twice more for shingle lookups (at
+    # cluster scale: materialize the signature table to parquet/Iceberg
+    # instead, bucketed by band_key)
+    base = base.persist()
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    # candidate generation over SLIM rows (id, band_key) — shingle arrays
+    # don't travel through the self-join shuffle
+    banded = base.select(
+        "id", F.explode(minhash_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # dedup BEFORE the expensive verify: a pair colliding in
+    )  # several bands is verified once, not once per band
+
+    # verify: join shingles back, prune with the size bound (J <= min/max —
+    # a pair whose sizes are too different can never pass), then exact Jaccard
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sh_b"))
+    na, nb = F.size("_sh_a"), F.size("_sh_b")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .filter(F.least(na, nb).cast("double") >= threshold * F.greatest(na, nb))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+            "id_a",
+            "id_b",
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])  # a pair can collide in >1 band
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
@@ -221,8 +239,12 @@ def ngram_jaccard_pairs(
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    na, nb = F.size("a.grams"), F.size("b.grams")
     return (
         a.join(b, cond)
+        # size bound J <= min/max prunes pairs that can never pass before
+        # the hash-set intersection runs
+        .filter(F.least(na, nb).cast("double") >= threshold * F.greatest(na, nb))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -1,0 +1,63 @@
+"""P6 trace flatten: recursive call-tree -> rows with trace_address paths."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.operators.traces import (
+    flatten_geth_traces,
+    genesis_traces,
+    route_trace_fields,
+)
+
+TREE = {
+    "type": "CALL",
+    "from": "0xAAA",
+    "to": "0xBBB",
+    "value": "0x10",
+    "calls": [
+        {"type": "STATICCALL", "from": "0xBBB", "to": "0xCCC"},
+        {
+            "type": "CALL",
+            "from": "0xBBB",
+            "to": "0xDDD",
+            "error": "out of gas",
+            "calls": [{"type": "CREATE", "from": "0xDDD", "to": "0xEEE"}],
+        },
+    ],
+}
+
+
+def _fixture(spark):
+    return spark.createDataFrame(
+        [(7, "0xtx1", json.dumps(TREE)), (8, "0xtx2", None)],
+        "block_number long, transaction_hash string, trace_json string",
+    )
+
+
+def test_flatten_paths_and_fields(spark):
+    flat = flatten_geth_traces(_fixture(spark))
+    rows = {r["trace_address"]: r for r in flat.collect()}
+    assert set(rows) == {"", "0", "1", "1,0"}  # null-trace row dropped
+    root = rows[""]
+    assert root["depth"] == 0 and root["subtraces"] == 2
+    assert root["from_address"] == "0xaaa" and root["value_hex"] == "0x10"
+    assert rows["0"]["trace_type"] == "staticcall" and rows["0"]["subtraces"] == 0
+    assert rows["1"]["error"] == "out of gas" and rows["1"]["subtraces"] == 1
+    assert rows["1,0"]["trace_type"] == "create" and rows["1,0"]["depth"] == 2
+    assert all(r["block_number"] == 7 for r in rows.values())
+
+
+def test_route_and_status(spark):
+    routed = route_trace_fields(flatten_geth_traces(_fixture(spark)))
+    rows = {r["trace_address"]: r for r in routed.collect()}
+    assert rows["1"]["status_ok"] is False and rows[""]["status_ok"] is True
+    assert rows["1,0"]["to_address"] == "0xeee"
+
+
+def test_genesis_synthetic_rows(spark):
+    g = genesis_traces(spark, [("0xAB", "0x1"), ("0xCD", "0x2")])
+    rows = g.collect()
+    assert len(rows) == 2
+    assert all(r["block_number"] == 0 and r["trace_type"] == "genesis" for r in rows)
+    assert {r["to_address"] for r in rows} == {"0xab", "0xcd"}
