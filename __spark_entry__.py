@@ -50,6 +50,7 @@ from ethereum_etl_spark.operators.dedup import (
     simhash_dedup,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
+from ethereum_etl_spark.operators.lending import vtoken_positions
 from ethereum_etl_spark.operators.multimodal import (
     extract_image_features,
     sample_frames,
@@ -65,6 +66,7 @@ from ethereum_etl_spark.operators.similarity import (
 from ethereum_etl_spark.operators.skew import salted_aggregate
 from ethereum_etl_spark.operators.traces import flatten_geth_traces
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
+from ethereum_etl_spark.plans.entities import export_blocks, export_transactions
 from ethereum_etl_spark.plans.merge import MergeTable
 from ethereum_etl_spark.plans.replay import replay_range
 from ethereum_etl_spark.sources.datagen import generate_repo_changes
@@ -601,6 +603,123 @@ def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_raw_blocks(ev: DataFrame) -> DataFrame:
+    """Deterministic raw JSON-RPC-shaped blocks with nested transactions:
+    10 events per block become 10 camelCase hex-field tx structs; block
+    scalar fields are md5-derived hex strings. Mixed-case addresses exercise
+    the lowercase-normalization rule."""
+    eid = F.col("event_id")
+    bn = (eid / 10).cast("long")
+    e = eid.cast("string")
+    tx = F.struct(
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("txh:"), e))).alias("hash"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("nonce:"), e)), 1, 6)).alias("nonce"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("txi:"), e)), 1, 2)).alias("transactionIndex"),
+        F.upper(F.concat(F.lit("0x"), _a40("from:", F.col("user_id")))).alias("from"),
+        F.upper(F.concat(F.lit("0x"), _a40("to:", eid % 97))).alias("to"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("val:"), e)), 1, 24)).alias("value"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("gas:"), e)), 1, 5)).alias("gas"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("gp:"), e)), 1, 8)).alias("gasPrice"),
+        F.when(eid % 5 == 0, F.lit("0x"))
+        .otherwise(F.concat(F.lit("0x"), F.md5(F.concat(F.lit("in:"), e))))
+        .alias("input"),
+    )
+    ts_hex = F.concat(
+        F.lit("0x"),
+        F.conv((F.lit(1600000000) + F.col("_bn") * 3).cast("string"), 10, 16),
+    )
+    return (
+        ev.select(bn.alias("_bn"), tx.alias("_tx"), eid.alias("_eid"))
+        .groupBy("_bn")
+        # collect_list order is nondeterministic — sort by event id so the
+        # nested array (and transaction_count golden files) are stable
+        .agg(F.sort_array(
+            F.collect_list(F.struct(F.col("_eid").alias("k"), F.col("_tx").alias("t")))
+        ).alias("_txs"))
+        .select(
+            F.col("_bn"),
+            F.transform(F.col("_txs"), lambda s: s["t"]).alias("transactions"),
+        )
+        .select(
+            F.concat(F.lit("0x"), F.conv(F.col("_bn").cast("string"), 10, 16)).alias("number"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("blk:"), F.col("_bn").cast("string")))).alias("hash"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("blk:"), (F.col("_bn") - 1).cast("string")))).alias("parentHash"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("bn:"), F.col("_bn").cast("string"))), 1, 16)).alias("nonce"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("un:"), F.col("_bn").cast("string")))).alias("sha3Uncles"),
+            F.lit("0x00").alias("logsBloom"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tr:"), F.col("_bn").cast("string")))).alias("transactionsRoot"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("sr:"), F.col("_bn").cast("string")))).alias("stateRoot"),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("rr:"), F.col("_bn").cast("string")))).alias("receiptsRoot"),
+            F.upper(F.concat(F.lit("0x"), _a40("miner:", F.col("_bn") % 50))).alias("miner"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("diff:"), F.col("_bn").cast("string"))), 1, 20)).alias("difficulty"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("td:"), F.col("_bn").cast("string"))), 1, 24)).alias("totalDifficulty"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("sz:"), F.col("_bn").cast("string"))), 1, 4)).alias("size"),
+            F.lit("0x").alias("extraData"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("gl:"), F.col("_bn").cast("string"))), 1, 6)).alias("gasLimit"),
+            F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("gu:"), F.col("_bn").cast("string"))), 1, 6)).alias("gasUsed"),
+            ts_hex.alias("timestamp"),
+            F.col("transactions"),
+        )
+    )
+
+
+def q_export_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: raw camelCase hex block rows -> typed block export (reference
+    BLOCK_FIELDS order, hex->dec incl. exact decimal difficulty)."""
+    _utc(spark)
+    raw = _synth_raw_blocks(_tp(spark, sf_dir, "events"))
+    out = export_blocks(raw)
+    return out.select(
+        *[c for c in out.columns if c not in ("difficulty", "total_difficulty")],
+        F.col("difficulty").cast("string").alias("difficulty"),
+        F.col("total_difficulty").cast("string").alias("total_difficulty"),
+    )
+
+
+def q_export_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: nested block->transactions explode with inherited block_timestamp
+    (reference TX_FIELDS order, exact decimal value)."""
+    _utc(spark)
+    raw = _synth_raw_blocks(_tp(spark, sf_dir, "events"))
+    out = export_transactions(raw)
+    return out.select(
+        *[c for c in out.columns if c != "value"],
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def q_lending_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/J2: vToken lending math — supply/borrow normalized by the exchange
+    rate with exact banker's-rounded integer division (the reference's
+    round(balanceOfUnderlying / (exchangeRateCurrent/1e18)))."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    eid = F.col("event_id")
+
+    def h(prefix: str, n: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), eid.cast("string"))), 1, n), 16, 10
+        ).cast("long")
+
+    pos = ev.select(
+        F.concat(F.lit("0x"), _a40("vt:", eid % 5)).alias("contract_address"),
+        F.concat(F.lit("0x"), _a40("w:", F.col("user_id"))).alias("address"),
+        (eid / 10).cast("long").alias("block_number"),
+        h("sup:", 7).alias("supply_raw"),
+        h("bor:", 7).alias("borrow_raw"),
+        (F.lit(10**17) + h("rate:", 15)).alias("exchange_rate_raw"),
+    )
+    out = vtoken_positions(pos)
+    return out.select(
+        "contract_address",
+        "address",
+        "block_number",
+        F.col("supply").cast("string").alias("supply"),
+        F.col("borrow").cast("string").alias("borrow"),
+        "unit_token",
+    )
+
+
 def q_token_metadata_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/S7: broadcast-join transfers with a token-metadata dim, first-non-
     null symbol via coalesce (eth_token_service.py:48-71 _get_first_result)."""
@@ -813,6 +932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abi_event_decode": q_abi_event_decode,
         "trace_flatten": q_trace_flatten,
         "contract_classify": q_contract_classify,
+        "export_blocks": q_export_blocks,
+        "export_transactions": q_export_transactions,
+        "lending_positions": q_lending_positions,
         "token_metadata_enrich": q_token_metadata_enrich,
         "wallet_balance_fold": q_wallet_balance_fold,
         "dedup_exact": q_dedup_exact,
@@ -1041,6 +1163,73 @@ def oracle_sql() -> dict[str, str]:
                    p_partkey % 4 = 0 AS is_erc20,
                    p_partkey % 4 = 1 AS is_erc721
             FROM part
+        """,
+        "export_blocks": f"""
+            WITH b AS (SELECT DISTINCT (event_id // 10)::BIGINT AS bn,
+                              count(*) OVER (PARTITION BY event_id // 10) AS txc
+                       FROM events)
+            SELECT bn AS number,
+                   '0x' || md5('blk:' || CAST(bn AS VARCHAR)) AS hash,
+                   '0x' || md5('blk:' || CAST(bn - 1 AS VARCHAR)) AS parent_hash,
+                   '0x' || substr(md5('bn:' || CAST(bn AS VARCHAR)), 1, 16) AS nonce,
+                   '0x' || md5('un:' || CAST(bn AS VARCHAR)) AS sha3_uncles,
+                   '0x00' AS logs_bloom,
+                   '0x' || md5('tr:' || CAST(bn AS VARCHAR)) AS transactions_root,
+                   '0x' || md5('sr:' || CAST(bn AS VARCHAR)) AS state_root,
+                   '0x' || md5('rr:' || CAST(bn AS VARCHAR)) AS receipts_root,
+                   '0x' || {_sql_a40("miner:", "bn % 50")} AS miner,
+                   CAST({_sql_hex_to_hugeint("substr(md5('diff:' || CAST(bn AS VARCHAR)), 1, 20)", 20)} AS VARCHAR) AS difficulty,
+                   CAST({_sql_hex_to_hugeint("substr(md5('td:' || CAST(bn AS VARCHAR)), 1, 24)", 24)} AS VARCHAR) AS total_difficulty,
+                   {_sql_hex_to_hugeint("substr(md5('sz:' || CAST(bn AS VARCHAR)), 1, 4)", 4)}::BIGINT AS size,
+                   '0x' AS extra_data,
+                   {_sql_hex_to_hugeint("substr(md5('gl:' || CAST(bn AS VARCHAR)), 1, 6)", 6)}::BIGINT AS gas_limit,
+                   {_sql_hex_to_hugeint("substr(md5('gu:' || CAST(bn AS VARCHAR)), 1, 6)", 6)}::BIGINT AS gas_used,
+                   (1600000000 + bn * 3)::BIGINT AS timestamp,
+                   txc::BIGINT AS transaction_count
+            FROM b
+        """,
+        "export_transactions": f"""
+            SELECT '0x' || md5('txh:' || CAST(event_id AS VARCHAR)) AS hash,
+                   {_sql_hex_to_hugeint("substr(md5('nonce:' || CAST(event_id AS VARCHAR)), 1, 6)", 6)}::BIGINT AS nonce,
+                   '0x' || md5('blk:' || CAST(event_id // 10 AS VARCHAR)) AS block_hash,
+                   (event_id // 10)::BIGINT AS block_number,
+                   {_sql_hex_to_hugeint("substr(md5('txi:' || CAST(event_id AS VARCHAR)), 1, 2)", 2)}::BIGINT AS transaction_index,
+                   '0x' || {_sql_a40("from:", "user_id")} AS from_address,
+                   '0x' || {_sql_a40("to:", "event_id % 97")} AS to_address,
+                   CAST({_sql_hex_to_hugeint("substr(md5('val:' || CAST(event_id AS VARCHAR)), 1, 24)", 24)} AS VARCHAR) AS value,
+                   {_sql_hex_to_hugeint("substr(md5('gas:' || CAST(event_id AS VARCHAR)), 1, 5)", 5)}::BIGINT AS gas,
+                   {_sql_hex_to_hugeint("substr(md5('gp:' || CAST(event_id AS VARCHAR)), 1, 8)", 8)}::BIGINT AS gas_price,
+                   CASE WHEN event_id % 5 = 0 THEN '0x'
+                        ELSE '0x' || md5('in:' || CAST(event_id AS VARCHAR)) END AS input,
+                   (1600000000 + (event_id // 10) * 3)::BIGINT AS block_timestamp
+            FROM events
+        """,
+        "lending_positions": f"""
+            WITH base AS (
+                SELECT event_id, user_id, (event_id // 10)::BIGINT AS block_number,
+                       {_sql_hex_to_hugeint("substr(md5('sup:' || CAST(event_id AS VARCHAR)),1,7)", 7)} AS sup,
+                       {_sql_hex_to_hugeint("substr(md5('bor:' || CAST(event_id AS VARCHAR)),1,7)", 7)} AS bor,
+                       (100000000000000000::HUGEINT +
+                        {_sql_hex_to_hugeint("substr(md5('rate:' || CAST(event_id AS VARCHAR)),1,15)", 15)}) AS rate
+                FROM events),
+            scaled AS (
+                SELECT *, sup * 1000000000000000000::HUGEINT AS ns,
+                          bor * 1000000000000000000::HUGEINT AS nb
+                FROM base),
+            q AS (
+                SELECT event_id, user_id, block_number, rate,
+                       (ns // rate) AS fs, (ns % rate) AS rs,
+                       (nb // rate) AS fb, (nb % rate) AS rb
+                FROM scaled)
+            SELECT '0x' || {_sql_a40("vt:", "event_id % 5")} AS contract_address,
+                   '0x' || {_sql_a40("w:", "user_id")} AS address,
+                   block_number,
+                   CAST(fs + CASE WHEN 2*rs > rate OR (2*rs = rate AND fs % 2 = 1)
+                                  THEN 1 ELSE 0 END AS VARCHAR) AS supply,
+                   CAST(fb + CASE WHEN 2*rb > rate OR (2*rb = rate AND fb % 2 = 1)
+                                  THEN 1 ELSE 0 END AS VARCHAR) AS borrow,
+                   '0x' || {_sql_a40("vt:", "event_id % 5")} AS unit_token
+            FROM q
         """,
         "token_metadata_enrich": f"""
             WITH t AS (

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "windowed_event_rollup",
     "token_transfer_decode",
     "abi_event_decode",
+    "trace_flatten",
+    "lending_positions",
+    "wallet_balance_fold",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

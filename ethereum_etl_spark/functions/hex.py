@@ -65,6 +65,39 @@ def hex_to_dec_decimal(s: pd.Series) -> pd.Series:
     return s.map(conv)
 
 
+_CHUNK = 11  # hex digits per conv() chunk: 44 bits, safely inside int64
+_CHUNK_BASE = 16 ** _CHUNK
+
+
+def hex_to_dec_native(col: Column) -> Column:
+    """Hex string (optionally 0x-prefixed) → DECIMAL(38,0), pure JVM ops.
+
+    Splits the significant digits into three 11-hex chunks, each decoded
+    with native ``conv`` (exact at 44 bits), recombined with exact decimal
+    arithmetic — no Python worker in the pipeline. Values needing more than
+    31 significant hex digits (≥16^31 ≈ 2.1e37) return NULL, mirroring the
+    pandas decoder's Decimal(38,0) cap; the canonical hex string column
+    remains the durable truth for such values (reference stringifies
+    everywhere, knowledge_graph_exporter.py:59-97).
+    """
+    sig = F.regexp_replace(strip_0x(col), "^0+", "")
+    z = F.lpad(sig, 3 * _CHUNK, "0")
+    c2 = F.conv(F.substring(z, 1, _CHUNK), 16, 10).cast("long")
+    c1 = F.conv(F.substring(z, _CHUNK + 1, _CHUNK), 16, 10).cast("long")
+    c0 = F.conv(F.substring(z, 2 * _CHUNK + 1, _CHUNK), 16, 10).cast("long")
+    base = F.lit(_CHUNK_BASE).cast("decimal(38,0)")
+    val = (c2.cast("decimal(38,0)") * base + c1) * base + c0
+    bad = (
+        col.isNull()
+        | (F.length(strip_0x(col)) == 0)
+        | (F.length(sig) > 3 * _CHUNK - 2)
+        | ~strip_0x(col).rlike("^[0-9a-fA-F]+$")
+    )
+    return F.when(bad, F.lit(None).cast("decimal(38,0)")).otherwise(
+        val.cast("decimal(38,0)")
+    )
+
+
 def normalize_address(col: Column) -> Column:
     """Lowercase-normalize an address/hash (utils/utils.py:55-58)."""
     return F.lower(col)

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ethereum_etl_spark.functions.hex import hex_to_dec_decimal, split_to_words, word_to_address
+from ethereum_etl_spark.functions.hex import hex_to_dec_native, split_to_words, word_to_address
 
 
 @dataclass(frozen=True)
@@ -73,7 +73,7 @@ def _decode_word(word: Column, sol_type: str) -> Column:
     decimal (stringified, as the reference stringifies all params),
     addresses → 0x+last-40, else raw word."""
     if sol_type.startswith(("uint", "int")):
-        return hex_to_dec_decimal(word).cast("string")
+        return hex_to_dec_native(word).cast("string")
     if sol_type == "address":
         return word_to_address(word)
     return F.lower(word)

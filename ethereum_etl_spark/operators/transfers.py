@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_spark.functions.hex import (
     TRANSFER_EVENT_TOPIC,
-    hex_to_dec_decimal,
+    hex_to_dec_native,
     split_to_words,
     word_to_address,
 )
@@ -65,7 +65,7 @@ def extract_token_transfers(
         )
     )
     if exact_value:
-        out = out.withColumn("value", hex_to_dec_decimal(F.col("value_hex")))
+        out = out.withColumn("value", hex_to_dec_native(F.col("value_hex")))
     else:  # 64-bit fast path when the caller knows values are small
         out = out.withColumn("value", F.conv(F.regexp_replace("value_hex", "^0x", ""), 16, 10).cast("decimal(38,0)"))
 

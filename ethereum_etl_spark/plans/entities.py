@@ -1,0 +1,143 @@
+"""Entity export pipeline — the reference's per-entity mappers + exporters
+(P1-P4) with the exporter field lists reproduced verbatim.
+
+Reference field lists (a user of the reference gets the same columns in the
+same order):
+- BLOCK_FIELDS  blocks_and_transactions_item_exporter.py:26-45
+- TX_FIELDS     blocks_and_transactions_item_exporter.py:47-60
+- RECEIPT_FIELDS receipts_and_logs_item_exporter.py:26-36
+- LOG_FIELDS    receipts_and_logs_item_exporter.py:38-47
+
+Mapper semantics (block_mapper.py:36-88, transaction_mapper.py:29-60,
+receipt_mapper.py:58-70, receipt_log_mapper.py:30-80): camelCase hex-string
+fields -> snake_case typed columns; hex->dec on numeric fields (exact
+DECIMAL(38,0) for unbounded ones); lowercase addresses; nested
+block->transactions flattened by explode with `block_timestamp` inherited
+from the parent row — free here, no join, because the parent columns ride
+along the explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.functions.hex import (
+    hex_to_dec_long,
+    hex_to_dec_native,
+    normalize_address,
+)
+
+BLOCK_FIELDS = [
+    "number", "hash", "parent_hash", "nonce", "sha3_uncles", "logs_bloom",
+    "transactions_root", "state_root", "receipts_root", "miner", "difficulty",
+    "total_difficulty", "size", "extra_data", "gas_limit", "gas_used",
+    "timestamp", "transaction_count",
+]
+
+TX_FIELDS = [
+    "hash", "nonce", "block_hash", "block_number", "transaction_index",
+    "from_address", "to_address", "value", "gas", "gas_price", "input",
+    "block_timestamp",
+]
+
+RECEIPT_FIELDS = [
+    "transaction_hash", "transaction_index", "block_hash", "block_number",
+    "cumulative_gas_used", "gas_used", "contract_address", "root", "status",
+]
+
+LOG_FIELDS = [
+    "log_index", "transaction_hash", "transaction_index", "block_hash",
+    "block_number", "address", "data", "topics",
+]
+
+
+def export_blocks(raw_blocks: DataFrame) -> DataFrame:
+    """Raw JSON-RPC-shaped block rows -> the reference's block export.
+
+    Input columns (camelCase hex strings, as eth_getBlockByNumber returns):
+    number, hash, parentHash, nonce, sha3Uncles, logsBloom, transactionsRoot,
+    stateRoot, receiptsRoot, miner, difficulty, totalDifficulty, size,
+    extraData, gasLimit, gasUsed, timestamp, transactions (array<struct>).
+    """
+    return raw_blocks.select(
+        hex_to_dec_long(F.col("number")).alias("number"),
+        F.col("hash"),
+        F.col("parentHash").alias("parent_hash"),
+        F.col("nonce"),
+        F.col("sha3Uncles").alias("sha3_uncles"),
+        F.col("logsBloom").alias("logs_bloom"),
+        F.col("transactionsRoot").alias("transactions_root"),
+        F.col("stateRoot").alias("state_root"),
+        F.col("receiptsRoot").alias("receipts_root"),
+        normalize_address(F.col("miner")).alias("miner"),
+        hex_to_dec_native(F.col("difficulty")).alias("difficulty"),
+        hex_to_dec_native(F.col("totalDifficulty")).alias("total_difficulty"),
+        hex_to_dec_long(F.col("size")).alias("size"),
+        F.col("extraData").alias("extra_data"),
+        hex_to_dec_long(F.col("gasLimit")).alias("gas_limit"),
+        hex_to_dec_long(F.col("gasUsed")).alias("gas_used"),
+        hex_to_dec_long(F.col("timestamp")).alias("timestamp"),
+        F.size(F.col("transactions")).cast("long").alias("transaction_count"),
+    )
+
+
+def export_transactions(raw_blocks: DataFrame) -> DataFrame:
+    """Explode nested transactions; block_timestamp inherited from the parent
+    row (transaction_mapper.py:40-41 sets it from the enclosing block)."""
+    tx = raw_blocks.select(
+        F.col("hash").alias("_block_hash"),
+        hex_to_dec_long(F.col("number")).alias("_block_number"),
+        hex_to_dec_long(F.col("timestamp")).alias("_block_timestamp"),
+        F.explode(F.col("transactions")).alias("t"),
+    )
+    return tx.select(
+        F.col("t.hash").alias("hash"),
+        hex_to_dec_long(F.col("t.nonce")).alias("nonce"),
+        F.col("_block_hash").alias("block_hash"),
+        F.col("_block_number").alias("block_number"),
+        hex_to_dec_long(F.col("t.transactionIndex")).alias("transaction_index"),
+        normalize_address(F.col("t.from")).alias("from_address"),
+        normalize_address(F.col("t.to")).alias("to_address"),
+        hex_to_dec_native(F.col("t.value")).alias("value"),
+        hex_to_dec_long(F.col("t.gas")).alias("gas"),
+        hex_to_dec_long(F.col("t.gasPrice")).alias("gas_price"),
+        F.col("t.input").alias("input"),
+        F.col("_block_timestamp").alias("block_timestamp"),
+    )
+
+
+def export_receipts(raw_receipts: DataFrame) -> DataFrame:
+    """Receipt projection (receipt_mapper.py:58-70)."""
+    return raw_receipts.select(
+        F.col("transactionHash").alias("transaction_hash"),
+        hex_to_dec_long(F.col("transactionIndex")).alias("transaction_index"),
+        F.col("blockHash").alias("block_hash"),
+        hex_to_dec_long(F.col("blockNumber")).alias("block_number"),
+        hex_to_dec_long(F.col("cumulativeGasUsed")).alias("cumulative_gas_used"),
+        hex_to_dec_long(F.col("gasUsed")).alias("gas_used"),
+        normalize_address(F.col("contractAddress")).alias("contract_address"),
+        F.col("root"),
+        hex_to_dec_long(F.col("status")).alias("status"),
+    )
+
+
+def export_logs(raw_logs: DataFrame) -> DataFrame:
+    """Log projection (receipt_log_mapper.py:30-42); topics stays an array —
+    the CSV sink comma-joins it (sinks/exporters.py)."""
+    return raw_logs.select(
+        hex_to_dec_long(F.col("logIndex")).alias("log_index"),
+        F.col("transactionHash").alias("transaction_hash"),
+        hex_to_dec_long(F.col("transactionIndex")).alias("transaction_index"),
+        F.col("blockHash").alias("block_hash"),
+        hex_to_dec_long(F.col("blockNumber")).alias("block_number"),
+        normalize_address(F.col("address")).alias("address"),
+        F.col("data"),
+        F.col("topics"),
+    )
+
+
+def native_transfers(transactions: DataFrame) -> DataFrame:
+    """F5: plain value transfers — `input == '0x'`
+    (export_blocks_job.py:162)."""
+    return transactions.filter(F.col("input") == "0x")

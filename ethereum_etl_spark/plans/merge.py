@@ -180,84 +180,79 @@ class MergeTable:
             self._log_lineage(m)
             return m
 
-        # 1. in-batch dedup: latest order_col per merge key. The shuffle key
-        #    is the full merge key (repo,path,commit) — high cardinality, so
-        #    hot repos don't create hot partitions here; repo-level skew is
-        #    handled by salting in pre-aggregations (operators/skew.py).
-        #    rows_in comes from an Observation on the input plan (no extra
-        #    job); touched buckets + deduped count come from ONE aggregation
-        #    over the persisted dedup result — the batch plan (incl. the
-        #    normalize pandas UDF upstream) is evaluated exactly once.
-        obs = Observation()
-        observed = batch.observe(obs, F.count(F.lit(1)).alias("rows_in"))
-        w = Window.partitionBy(*self.merge_keys).orderBy(F.col(self.order_col).desc())
-        deduped = (
-            observed.withColumn(_RN_COL, F.row_number().over(w))
-            .filter(F.col(_RN_COL) == 1)
-            .drop(_RN_COL)
-            .withColumn(_BUCKET_COL, self._bucket_expr(batch))
+        # 1. light pass — touched buckets + rows_in in one column-pruned
+        #    aggregation (only the merge-key columns are evaluated; Catalyst
+        #    prunes the heavy normalize expressions upstream). Partial
+        #    map-side combine means only ~n_buckets rows ever shuffle.
+        bucket_stats = (
+            batch.select(self._bucket_expr(batch).alias(_BUCKET_COL))
+            .groupBy(_BUCKET_COL)
+            .count()
+            .collect()
         )
-        deduped = deduped.persist()
-        try:
-            bucket_stats = deduped.groupBy(_BUCKET_COL).count().collect()
-            touched = sorted(int(r[0]) for r in bucket_stats)
-            rows_dedup = int(sum(r[1] for r in bucket_stats))
-            rows_in = int(obs.get["rows_in"]) if bucket_stats else 0
+        touched = sorted(int(r[0]) for r in bucket_stats)
+        rows_in = int(sum(r[1] for r in bucket_stats))
 
-            old_buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
-            existing_paths = [p for b in touched for p in old_buckets.get(str(b), [])]
+        old_buckets: dict[str, list[str]] = dict(snap["buckets"]) if snap else {}
+        existing_paths = [p for b in touched for p in old_buckets.get(str(b), [])]
 
-            if existing_paths:
-                # 2. resolve winners: latest order_col, prefer the incoming
-                #    row on ties (CDC replace_one semantics, mongo_db.py:72-83)
-                new_part = deduped.withColumn(_IS_NEW_COL, F.lit(1))
-                existing = self.spark.read.option("mergeSchema", "true").parquet(*existing_paths)
-                # bucket value is derivable from the key; recompute rather
-                # than trusting directory names (survives schema drift)
-                existing = existing.withColumn(_BUCKET_COL, self._bucket_expr(existing))
-                existing = existing.withColumn(_IS_NEW_COL, F.lit(0))
-                merged = new_part.unionByName(existing, allowMissingColumns=True)
-                wk = Window.partitionBy(*self.merge_keys).orderBy(
-                    F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
-                )
-                resolved = (
-                    merged.withColumn(_RN_COL, F.row_number().over(wk))
-                    .filter(F.col(_RN_COL) == 1)
-                    .drop(_RN_COL, _IS_NEW_COL)
-                )
-            else:
-                # bulk-load fast path: nothing to resolve against — the
-                # in-batch dedup already guarantees one row per key, so the
-                # resolve shuffle is skipped entirely
-                resolved = deduped
+        # 2. main pass — ONE shuffle, ONE sort: in-batch dedup and
+        #    resolve-vs-existing are the same rule (latest order_col wins,
+        #    incoming beats existing on ties — CDC replace_one semantics,
+        #    mongo_db.py:72-83), so both collapse into a single window: hash-
+        #    exchange by bucket (write-aligned), sort each partition by
+        #    (bucket, key, order desc, is_new desc), keep the first row of
+        #    every key run via lag(). All rows of a key share its bucket, so
+        #    bucket-partitioning is correct for the per-key window.
+        new_part = batch.withColumn(_BUCKET_COL, self._bucket_expr(batch)).withColumn(
+            _IS_NEW_COL, F.lit(1)
+        )
+        if existing_paths:
+            existing = self.spark.read.option("mergeSchema", "true").parquet(*existing_paths)
+            # bucket value is derivable from the key; recompute rather
+            # than trusting directory names (survives schema drift)
+            existing = existing.withColumn(_BUCKET_COL, self._bucket_expr(existing))
+            existing = existing.withColumn(_IS_NEW_COL, F.lit(0))
+            merged = new_part.unionByName(existing, allowMissingColumns=True)
+        else:
+            merged = new_part
 
-            # 3. write new files for touched buckets only
-            out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
-            (
-                resolved.repartition(max(len(touched), 1), F.col(_BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(_BUCKET_COL)
-                .parquet(out_dir)
-            )
+        key_struct = F.struct(*[F.col(k) for k in self.merge_keys])
+        w = Window.partitionBy(_BUCKET_COL).orderBy(
+            *self.merge_keys, F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
+        )
+        prev_key = F.lag(key_struct).over(w)
+        resolved = (
+            merged.withColumn(_RN_COL, prev_key.isNull() | (prev_key != key_struct))
+            .filter(F.col(_RN_COL))
+            .drop(_RN_COL, _IS_NEW_COL)
+        )
 
-            new_buckets = dict(old_buckets)
-            for b in touched:
-                bpath = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
-                if os.path.exists(bpath):
-                    new_buckets[str(b)] = [bpath]
+        # 3. write new files for touched buckets only; the data is already
+        #    exchanged on the bucket column, so partitionBy writes straight
+        #    out of the window's partitioning — no second shuffle
+        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
+        obs = Observation()
+        resolved = resolved.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+        resolved.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        rows_dedup = int(obs.get["rows_out"]) if touched else 0
 
-            snapshot = {
-                "id": next_id,
-                "parent": snap["id"] if snap else None,
-                "buckets": new_buckets,
-                "committed_batches": sorted(committed | {batch_id}),
-                "merge_keys": self.merge_keys,
-                "order_col": self.order_col,
-                "n_buckets": self.n_buckets,
-            }
-            self._commit(snapshot)
-        finally:
-            deduped.unpersist()
+        new_buckets = dict(old_buckets)
+        for b in touched:
+            bpath = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
+            if os.path.exists(bpath):
+                new_buckets[str(b)] = [bpath]
+
+        snapshot = {
+            "id": next_id,
+            "parent": snap["id"] if snap else None,
+            "buckets": new_buckets,
+            "committed_batches": sorted(committed | {batch_id}),
+            "merge_keys": self.merge_keys,
+            "order_col": self.order_col,
+            "n_buckets": self.n_buckets,
+        }
+        self._commit(snapshot)
 
         m = MergeMetrics(
             batch_id,

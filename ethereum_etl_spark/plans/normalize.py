@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ethereum_etl_spark.functions.hex import hex_to_dec_decimal
+from ethereum_etl_spark.functions.hex import hex_to_dec_native
 from ethereum_etl_spark.functions.text import clean_content, token_count, zero_pad
 
 # embedded uint256 payload, e.g. " value=0x<64 hex chars>" (datagen emits one
@@ -56,5 +56,5 @@ def normalize_changes(changes: DataFrame, with_decimal_value: bool = True) -> Da
         zero_pad(F.col("seq") - (F.col("seq") % 1000), 8).alias("part_label"),
     )
     if with_decimal_value:
-        out = out.withColumn("value_dec", hex_to_dec_decimal(F.col("value_hex")))
+        out = out.withColumn("value_dec", hex_to_dec_native(F.col("value_hex")))
     return out

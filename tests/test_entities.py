@@ -1,0 +1,106 @@
+"""P1-P4 entity exports: verbatim reference field lists + mapper semantics."""
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.plans.entities import (
+    BLOCK_FIELDS,
+    LOG_FIELDS,
+    RECEIPT_FIELDS,
+    TX_FIELDS,
+    export_blocks,
+    export_logs,
+    export_receipts,
+    export_transactions,
+    native_transfers,
+)
+
+RAW_BLOCK = {
+    "number": "0x1b4",
+    "hash": "0xh1",
+    "parentHash": "0xh0",
+    "nonce": "0xn",
+    "sha3Uncles": "0xu",
+    "logsBloom": "0x00",
+    "transactionsRoot": "0xtr",
+    "stateRoot": "0xsr",
+    "receiptsRoot": "0xrr",
+    "miner": "0xABCDEF",
+    "difficulty": "0xffffffffffffffffffff",  # > int64
+    "totalDifficulty": "0x10",
+    "size": "0x220",
+    "extraData": "0x",
+    "gasLimit": "0x47e7c4",
+    "gasUsed": "0x5208",
+    "timestamp": "0x5bad55",
+    "transactions": [
+        {
+            "hash": "0xt1", "nonce": "0x1", "transactionIndex": "0x0",
+            "from": "0xAA", "to": "0xBB", "value": "0xde0b6b3a7640000",
+            "gas": "0x5208", "gasPrice": "0x4a817c800", "input": "0x",
+        },
+        {
+            "hash": "0xt2", "nonce": "0x2", "transactionIndex": "0x1",
+            "from": "0xCC", "to": "0xDD", "value": "0x0",
+            "gas": "0x5208", "gasPrice": "0x1", "input": "0xdeadbeef",
+        },
+    ],
+}
+
+
+def _raw(spark):
+    return spark.createDataFrame(
+        [RAW_BLOCK],
+        "number string, hash string, parentHash string, nonce string, "
+        "sha3Uncles string, logsBloom string, transactionsRoot string, "
+        "stateRoot string, receiptsRoot string, miner string, "
+        "difficulty string, totalDifficulty string, size string, "
+        "extraData string, gasLimit string, gasUsed string, timestamp string, "
+        "transactions array<struct<hash:string,nonce:string,"
+        "transactionIndex:string,from:string,to:string,value:string,"
+        "gas:string,gasPrice:string,input:string>>",
+    )
+
+
+def test_block_export_fields_and_decode(spark):
+    out = export_blocks(_raw(spark))
+    assert out.columns == BLOCK_FIELDS  # verbatim exporter field order
+    r = out.first()
+    assert r["number"] == 436 and r["timestamp"] == 0x5BAD55
+    assert r["miner"] == "0xabcdef"  # lowercase-normalized
+    assert int(r["difficulty"]) == 0xFFFFFFFFFFFFFFFFFFFF  # exact > int64
+    assert r["transaction_count"] == 2 and r["gas_used"] == 21000
+
+
+def test_transaction_export_inherits_block_context(spark):
+    out = export_transactions(_raw(spark))
+    assert out.columns == TX_FIELDS
+    rows = {r["hash"]: r for r in out.collect()}
+    assert len(rows) == 2
+    t1 = rows["0xt1"]
+    assert t1["block_hash"] == "0xh1" and t1["block_number"] == 436
+    assert t1["block_timestamp"] == 0x5BAD55  # inherited from parent block
+    assert t1["from_address"] == "0xaa" and int(t1["value"]) == 10**18
+    assert native_transfers(out).count() == 1  # only input == '0x'
+
+
+def test_receipt_and_log_export_fields(spark):
+    receipts = spark.createDataFrame(
+        [("0xt1", "0x0", "0xh1", "0x1b4", "0x5208", "0x5208", None, None, "0x1")],
+        "transactionHash string, transactionIndex string, blockHash string, "
+        "blockNumber string, cumulativeGasUsed string, gasUsed string, "
+        "contractAddress string, root string, status string",
+    )
+    out = export_receipts(receipts)
+    assert out.columns == RECEIPT_FIELDS
+    assert out.first()["status"] == 1
+
+    logs = spark.createDataFrame(
+        [("0x0", "0xt1", "0x0", "0xh1", "0x1b4", "0xAB", "0x00", ["0xT0", "0xT1"])],
+        "logIndex string, transactionHash string, transactionIndex string, "
+        "blockHash string, blockNumber string, address string, data string, "
+        "topics array<string>",
+    )
+    lout = export_logs(logs)
+    assert lout.columns == LOG_FIELDS
+    lr = lout.first()
+    assert lr["address"] == "0xab" and lr["topics"] == ["0xT0", "0xT1"]
