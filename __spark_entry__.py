@@ -67,6 +67,11 @@ from ethereum_etl_spark.operators.skew import salted_aggregate
 from ethereum_etl_spark.operators.traces import flatten_geth_traces
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
 from ethereum_etl_spark.plans.entities import export_blocks, export_transactions
+from ethereum_etl_spark.plans.knowledge_graph import (
+    KnowledgeGraphTables,
+    export_knowledge_graph,
+    wallet_map_view,
+)
 from ethereum_etl_spark.plans.merge import MergeTable
 from ethereum_etl_spark.plans.replay import replay_range
 from ethereum_etl_spark.sources.datagen import generate_repo_changes
@@ -871,6 +876,22 @@ def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------- rows-only (non-SQL-expressible: full engine / streaming / media) --
 
+def q_knowledge_graph_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite (SURVEY §3.1): raw blocks + one multiplexed log
+    stream -> blocks/transactions/token_transfers/events/wallets tables in
+    one pass, returning the reference-shaped wallet documents."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    raw_blocks = _synth_raw_blocks(ev)
+    raw_logs = _synth_transfer_logs(ev).unionByName(_synth_event_logs(ev))
+    tables = KnowledgeGraphTables.create(
+        spark, tempfile.mkdtemp(prefix="klg_"), n_buckets=8
+    )
+    export_knowledge_graph(
+        raw_blocks, raw_logs, tables, abis=[_DEPOSIT_ABI], batch_id="drv"
+    )
+    return wallet_map_view(tables)
+
 def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC slice: deterministic change log -> normalize -> idempotent
     bucketed MERGE -> final table state (re-running a range is a no-op)."""
@@ -948,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_keys": q_lsh_bucket_keys,
+        "knowledge_graph_cycle": q_knowledge_graph_cycle,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_stream_resume": q_cdc_stream_resume,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1008,10 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
         "'\\s+', ' ', 'g')))"
     )
-    tokens_ws = (
-        "CASE WHEN length(trim(text)) = 0 THEN 0 "
-        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT"
-    )
+    tokens_ws = "len(regexp_extract_all(text, '\\S+'))::BIGINT"
 
     return {
         "q1_pricing_summary": f"""

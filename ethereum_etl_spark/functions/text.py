@@ -36,11 +36,12 @@ def round_timestamp_to_date(ts_seconds: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count. Empty/NULL-safe."""
-    trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    ).cast("long")
+    """Whitespace token count — exact ``len(s.split())`` semantics.
+
+    Counts maximal non-whitespace runs. (A trim+split formulation miscounts
+    strings of tabs/newlines: Spark's trim only strips ASCII spaces —
+    hypothesis-found divergence.)"""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), F.lit(0))).cast("long")
 
 
 def bpe_ish_token_count(col: Column) -> Column:

@@ -146,7 +146,8 @@ class MergeTable:
         """Current table state (snapshot-consistent)."""
         snap = self.current_snapshot()
         if snap is None or not any(snap["buckets"].values()):
-            return self.spark.createDataFrame([], "repo string, path string, commit string")
+            schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
+            return self.spark.createDataFrame([], schema)
         paths = sorted({p for plist in snap["buckets"].values() for p in plist})
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
