@@ -139,6 +139,57 @@ def _sql_hex_to_hugeint(hex_col: str, ndigits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_repo_changes(seed: int, n: int) -> str:
+    """DuckDB regeneration of generate_repo_changes(seed, n): every datagen
+    expression is exact integer/string arithmetic over md5, so the SQL
+    produces the bit-identical table (incl. the embedded NUL rows — DuckDB
+    varchars carry chr(0) and sha256() hashes it)."""
+    h_repo = _sql_hex_to_hugeint(
+        f"substr(md5('repo:{seed}:' || CAST(seq AS VARCHAR)),1,8)", 8
+    )
+    h_path = _sql_hex_to_hugeint(
+        f"substr(md5('path:{seed}:' || CAST(seq AS VARCHAR)),1,8)", 8
+    )
+    langs = "['py','rs','go','js','java','c','md','sql']"
+    return f"""
+      SELECT seq, body,
+             'repo-' || lpad(CAST(repo_id AS VARCHAR), 4, '0') AS repo,
+             'src/' || lang || '/f' || lpad(CAST(path_id AS VARCHAR), 3, '0')
+                || '.' || lang AS path,
+             commit_h || substr(md5(commit_h), 1, 8) AS commit,
+             lang,
+             'fn change_' || CAST(seq AS VARCHAR) || '() {{ // ' || body ||
+                CASE WHEN seq % 32 = 7 THEN chr(0) ELSE '' END ||
+                ' value=0x' || substr(body, 1, 24) || ' }}' || chr(10) AS content
+      FROM (
+        SELECT seq, (h * h * h * 200) // {2 ** 96}::HUGEINT AS repo_id, path_id,
+               ({langs})[(((h * h * h * 200) // {2 ** 96}::HUGEINT + path_id) % 8)::INT + 1] AS lang,
+               md5('commit:{seed}:' || CAST(seq AS VARCHAR)) AS commit_h,
+               md5('content:{seed}:' || CAST(seq AS VARCHAR)) AS body
+        FROM (
+          SELECT seq, {h_repo} AS h, ({h_path}) % 50 AS path_id
+          FROM (SELECT i AS seq FROM unnest(range(0, {n})) AS t(i))))
+    """
+
+
+def _sql_normalized_changes(seed: int, n: int) -> str:
+    """DuckDB regeneration of normalize_changes(generate_repo_changes(...)) —
+    the full-replay final-state oracle (all merge keys are unique in the
+    generated log, so the final table state IS the normalized set)."""
+    return f"""
+      SELECT seq, repo, path, commit, lang,
+             replace(content, chr(0), '') AS content,
+             sha256(content) AS sha256,
+             length(replace(content, chr(0), ''))::BIGINT AS content_size,
+             len(regexp_extract_all(content, '\\S+'))::BIGINT AS n_tokens,
+             '0x' || substr(body, 1, 24) AS value_hex,
+             (seq // 86400)::BIGINT AS day_bucket,
+             lpad(CAST(seq - seq % 1000 AS VARCHAR), 8, '0') AS part_label,
+             CAST({_sql_hex_to_hugeint("substr(body, 1, 24)", 24)} AS VARCHAR) AS value_dec
+      FROM ({_sql_repo_changes(seed, n)})
+    """
+
+
 # the D2 demo ABI (reference shape: artifacts/event-abi/*.json)
 _DEPOSIT_ABI: EventAbi = load_abi(
     {
@@ -903,7 +954,9 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_range(spark, changes, table, 0, n - 1, partition_size=2500)
     # replay idempotence: merging an already-committed range changes nothing
     replay_range(spark, changes, table, 0, 2499, partition_size=2500)
-    return table.read().drop("__bucket")
+    return table.read().drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
 
 
 def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,7 +973,9 @@ def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1.run_until_head(max_cycles=2)  # "crash" after 2 micro-batches
     s2 = Streamer(spark, src, table, ckpt)  # resume from checkpoint
     s2.run_until_head()
-    return table.read().drop("__bucket")
+    return table.read().drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,9 +1445,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, {_sql_lsh_bucket("embedding", 8)} AS bucket
             FROM embeddings
         """,
-        # cdc_replay_final_state / cdc_stream_resume /
-        # multimodal_image_features / multimodal_frame_sample: intentionally
-        # omitted — full-engine (merge snapshots, checkpoint files) and
-        # mapInPandas media kernels are not SQL-expressible; the driver
-        # records the weaker rows-only check for them.
+        # full-replay / stream-resume final state: the datagen is exact
+        # integer/string arithmetic, so DuckDB regenerates the identical
+        # table and the driver value-checks the ENTIRE engine path
+        # (datagen -> normalize -> idempotent merge -> snapshot read)
+        "cdc_replay_final_state": _sql_normalized_changes(seed=7, n=5000),
+        "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
+        # knowledge_graph_cycle / multimodal_*: intentionally omitted —
+        # multi-table merge snapshots and mapInPandas media kernels are not
+        # single-statement-SQL-expressible; the driver records the weaker
+        # rows-only check for them.
     }

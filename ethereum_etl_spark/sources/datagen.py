@@ -20,6 +20,10 @@ Content quirks exercised (FIXTURES.md §0):
 - rows containing ASCII-0                    → sanitize rule
   (reference: export_tokens_job.py:80-90 `clean_user_provided_content`)
 - embedded uint256-scale hex payloads        → non-native hex decode
+
+Every expression here is EXACT integer/string arithmetic over md5 — no
+floats — so an ANSI-SQL engine can regenerate the identical table and the
+driver's oracle can value-check the full replay, not just row counts.
 """
 
 from __future__ import annotations
@@ -34,10 +38,10 @@ CHANGE_LOG_SCHEMA = (
 _LANGS = ["py", "rs", "go", "js", "java", "c", "md", "sql"]
 
 
-def _hash_frac(col, salt: str, seed: int):
-    """Deterministic uniform [0,1) fraction from a column value."""
+def _hash_u32(col, salt: str, seed: int):
+    """Deterministic uniform 32-bit integer from a column value."""
     h = F.md5(F.concat(F.lit(f"{salt}:{seed}:"), col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(2**32))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
 def generate_repo_changes(
@@ -56,12 +60,20 @@ def generate_repo_changes(
     overlapping, for replay-idempotence tests) seq ranges that are
     consistent with each other: row content depends only on (seed, seq).
     """
+    if skew != 3.0:
+        raise ValueError("only the cubic skew (skew=3.0) is supported — it is "
+                         "computed in exact integer arithmetic for oracle parity")
     rng = spark.range(start_seq, start_seq + n_rows, 1, partitions or None)
     seq = F.col("id")
 
-    u_repo = _hash_frac(seq, "repo", seed)
-    # Zipf-ish: u^skew concentrates mass near repo 0 (hot repos)
-    repo_id = F.floor(F.pow(u_repo, F.lit(skew)) * n_repos).cast("int")
+    # Zipf-ish: u^3 concentrates mass near repo 0 (hot repos). Computed as
+    # floor(h^3 * n_repos / 2^96) over exact DECIMAL(38,0) — bit-identical in
+    # any engine (a float pow() here would flip floor boundaries across
+    # libm implementations and break the SQL replay oracle)
+    h = _hash_u32(seq, "repo", seed).cast("decimal(38,0)")
+    num = h * h * h * F.lit(n_repos).cast("decimal(38,0)")
+    den = F.lit(str(2 ** 96)).cast("decimal(38,0)")  # 2^96 exceeds long; go via string
+    repo_id = ((num - F.pmod(num, den)) / den).cast("decimal(38,0)").cast("int")
     path_id = (
         F.conv(F.substring(F.md5(F.concat(F.lit(f"path:{seed}:"), seq.cast("string"))), 1, 8), 16, 10)
         .cast("long")
