@@ -66,7 +66,11 @@ from ethereum_etl_spark.operators.similarity import (
 from ethereum_etl_spark.operators.skew import salted_aggregate
 from ethereum_etl_spark.operators.traces import flatten_geth_traces
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
-from ethereum_etl_spark.plans.entities import export_blocks, export_transactions
+from ethereum_etl_spark.plans.entities import (
+    export_blocks,
+    export_tokens,
+    export_transactions,
+)
 from ethereum_etl_spark.plans.knowledge_graph import (
     KnowledgeGraphTables,
     export_knowledge_graph,
@@ -744,6 +748,28 @@ def q_export_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token metadata export with NUL-stripped user content (P8) and exact
+    uint256 total_supply; raw rows synthesized per distinct token id."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    tid = (F.col("event_id") % 20).cast("long")
+    raw = ev.select(tid.alias("_tid")).distinct().select(
+        F.upper(F.concat(F.lit("0x"), _a40("token:", F.col("_tid")))).alias("address"),
+        # every 4th symbol carries an embedded NUL to exercise the sanitize rule
+        F.when(
+            F.col("_tid") % 4 == 0,
+            F.concat(F.lit("TK\x00"), F.col("_tid").cast("string")),
+        ).otherwise(F.concat(F.lit("TK"), F.col("_tid").cast("string"))).alias("symbol"),
+        F.concat(F.lit("Token "), F.col("_tid").cast("string")).alias("name"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("dec:"), F.col("_tid").cast("string"))), 1, 1)).alias("decimals"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("ts:"), F.col("_tid").cast("string"))), 1, 24)).alias("totalSupply"),
+        (F.col("_tid") * 100).alias("block_number"),
+    )
+    out = export_tokens(raw)
+    return out.withColumn("total_supply", F.col("total_supply").cast("string"))
+
+
 def q_lending_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/J2: vToken lending math — supply/borrow normalized by the exchange
     rate with exact banker's-rounded integer division (the reference's
@@ -1010,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_classify": q_contract_classify,
         "export_blocks": q_export_blocks,
         "export_transactions": q_export_transactions,
+        "export_tokens": q_export_tokens,
         "lending_positions": q_lending_positions,
         "token_metadata_enrich": q_token_metadata_enrich,
         "wallet_balance_fold": q_wallet_balance_fold,
@@ -1277,6 +1304,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '0x' || md5('in:' || CAST(event_id AS VARCHAR)) END AS input,
                    (1600000000 + (event_id // 10) * 3)::BIGINT AS block_timestamp
             FROM events
+        """,
+        "export_tokens": f"""
+            WITH t AS (SELECT DISTINCT (event_id % 20)::BIGINT AS tid FROM events)
+            SELECT '0x' || {_sql_a40("token:", "tid")} AS address,
+                   'TK' || CAST(tid AS VARCHAR) AS symbol,
+                   'Token ' || CAST(tid AS VARCHAR) AS name,
+                   {_sql_hex_to_hugeint("substr(md5('dec:' || CAST(tid AS VARCHAR)), 1, 1)", 1)}::BIGINT AS decimals,
+                   CAST({_sql_hex_to_hugeint("substr(md5('ts:' || CAST(tid AS VARCHAR)), 1, 24)", 24)} AS VARCHAR) AS total_supply,
+                   tid * 100 AS block_number
+            FROM t
         """,
         "lending_positions": f"""
             WITH base AS (

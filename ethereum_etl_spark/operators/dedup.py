@@ -109,11 +109,28 @@ def minhash_lsh_pairs(
     bounded by band width; no cross join ever materializes.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
+    n_digests = (n_hashes + 3) // 4
+    # TWO projection steps: the digest array is materialized as its own
+    # column before the 16 min-scans reference it — a single-expression form
+    # would inline (and re-evaluate) the md5 transform into every scan
+    with_digs = df.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), k).alias("shingles"),
-        minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
+    ).withColumn(
+        "_digs",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.concat(*[F.md5(F.concat(F.lit(f"{d}:"), s)) for d in range(n_digests)]),
+        ),
     )
+
+    def _slice(j: int):
+        return lambda h: F.substring(h, j * 8 + 1, 8)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_digs"), _slice(j))) for j in range(n_hashes)]
+    )
+    base = with_digs.withColumn("sig", sig).select("id", "shingles", "sig")
     # cached: read once for band keys, twice more for shingle lookups (at
     # cluster scale: materialize the signature table to parquet/Iceberg
     # instead, bucketed by band_key)

@@ -137,6 +137,28 @@ def export_logs(raw_logs: DataFrame) -> DataFrame:
     )
 
 
+TOKEN_FIELDS = ["address", "symbol", "name", "decimals", "total_supply", "block_number"]
+
+
+def export_tokens(raw_tokens: DataFrame) -> DataFrame:
+    """Token metadata export (tokens_item_exporter.py:26-33; job
+    export_tokens_job.py:53-90): lowercase address, NUL-stripped
+    user-provided symbol/name (`clean_user_provided_content`,
+    export_tokens_job.py:80-90), exact-decimal total_supply kept as the
+    canonical string (the reference stringifies it at the sink,
+    knowledge_graph_exporter.py:93-97)."""
+    from ethereum_etl_spark.functions.text import clean_content
+
+    return raw_tokens.select(
+        normalize_address(F.col("address")).alias("address"),
+        clean_content(F.col("symbol")).alias("symbol"),
+        clean_content(F.col("name")).alias("name"),
+        hex_to_dec_long(F.col("decimals")).alias("decimals"),
+        hex_to_dec_native(F.col("totalSupply")).alias("total_supply"),
+        F.col("block_number"),
+    )
+
+
 def native_transfers(transactions: DataFrame) -> DataFrame:
     """F5: plain value transfers — `input == '0x'`
     (export_blocks_job.py:162)."""
