@@ -77,6 +77,7 @@ from ethereum_etl_spark.plans.knowledge_graph import (
     wallet_map_view,
 )
 from ethereum_etl_spark.plans.merge import MergeTable
+from ethereum_etl_spark.plans.normalize import normalize_changes
 from ethereum_etl_spark.plans.replay import replay_range
 from ethereum_etl_spark.sources.datagen import generate_repo_changes
 from ethereum_etl_spark.sources.tail import TailSource
@@ -985,6 +986,39 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-file-content view: latest commit per (repo, path) — the
+    MergeTable.latest_state window over the replayed table, value-checked
+    against the SQL regeneration."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=7, partitions=8)
+    root = tempfile.mkdtemp(prefix="cdc_latest_")
+    table = MergeTable(spark, root, n_buckets=8)
+    replay_range(spark, changes, table, 0, n - 1)
+    return table.latest_state(keys=("repo", "path")).select(
+        "repo", "path", "commit", "seq", "sha256"
+    )
+
+
+def q_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (SURVEY §1.3): a later batch carries a new
+    column; earlier rows read back NULL for it, nothing is rewritten."""
+    _utc(spark)
+    root = tempfile.mkdtemp(prefix="cdc_evo_")
+    table = MergeTable(spark, root, n_buckets=4)
+    first = normalize_changes(generate_repo_changes(spark, 1000, seed=13, partitions=4))
+    table.merge(first, "evo-1")
+    second = normalize_changes(
+        generate_repo_changes(spark, 1000, seed=13, start_seq=1000, partitions=4)
+    ).withColumn("review_state", F.lit("approved"))
+    table.merge(second, "evo-2")
+    out = table.read()
+    return out.select(
+        "seq", "repo", "path", "commit", "sha256", "review_state"
+    )
+
+
 def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain-tail streaming with checkpoint resume: two Streamer instances
     share one checkpoint; the second resumes where the first stopped."""
@@ -1053,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_keys": q_lsh_bucket_keys,
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_latest_state": q_cdc_latest_state,
+        "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_stream_resume": q_cdc_stream_resume,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1488,6 +1524,17 @@ def oracle_sql() -> dict[str, str]:
         # (datagen -> normalize -> idempotent merge -> snapshot read)
         "cdc_replay_final_state": _sql_normalized_changes(seed=7, n=5000),
         "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
+        "cdc_latest_state": f"""
+            SELECT repo, path, commit, seq, sha256 FROM (
+                SELECT repo, path, commit, seq, sha256, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY seq DESC, commit DESC) AS rn
+                FROM ({_sql_normalized_changes(seed=7, n=5000)})) WHERE rn = 1
+        """,
+        "schema_evolution_replay": f"""
+            SELECT seq, repo, path, commit, sha256,
+                   CASE WHEN seq >= 1000 THEN 'approved' END AS review_state
+            FROM ({_sql_normalized_changes(seed=13, n=2000)})
+        """,
         # knowledge_graph_cycle / multimodal_*: intentionally omitted —
         # multi-table merge snapshots and mapInPandas media kernels are not
         # single-statement-SQL-expressible; the driver records the weaker
