@@ -83,6 +83,29 @@ def test_transaction_export_inherits_block_context(spark):
     assert native_transfers(out).count() == 1  # only input == '0x'
 
 
+def test_block_export_golden_csv(spark, tmp_path):
+    """Upstream-style golden-file check: exact CSV bytes (field order, hex
+    decode, lowercase, decimal rendering) — the reference's fixture-compare
+    strategy (SURVEY §5)."""
+    import glob
+
+    from ethereum_etl_spark.plans.entities import BLOCK_FIELDS
+    from ethereum_etl_spark.sinks import write_entity_csv
+
+    out = str(tmp_path / "golden")
+    write_entity_csv(export_blocks(_raw(spark)), out, fields=BLOCK_FIELDS, single_file=True)
+    got = open(glob.glob(f"{out}/part-*.csv")[0]).read()
+    expected = (
+        "number,hash,parent_hash,nonce,sha3_uncles,logs_bloom,"
+        "transactions_root,state_root,receipts_root,miner,difficulty,"
+        "total_difficulty,size,extra_data,gas_limit,gas_used,timestamp,"
+        "transaction_count\n"
+        "436,0xh1,0xh0,0xn,0xu,0x00,0xtr,0xsr,0xrr,0xabcdef,"
+        "1208925819614629174706175,16,544,0x,4712388,21000,6008149,2\n"
+    )
+    assert got == expected
+
+
 def test_receipt_and_log_export_fields(spark):
     receipts = spark.createDataFrame(
         [("0xt1", "0x0", "0xh1", "0x1b4", "0x5208", "0x5208", None, None, "0x1")],
