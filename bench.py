@@ -92,6 +92,20 @@ def main() -> None:
     micro_sec = time.time() - t0
     merge_latency = sum(m.seconds for m in mm) / len(mm)
 
+    # ---- same micro-batches, merge-on-read table (append deltas + compaction) ----
+    mor_root = tempfile.mkdtemp(prefix="bench_mor_")
+    mor = MergeTable(spark, mor_root, n_buckets=cpus * 2, mode="mor")
+    t0 = time.time()
+    mmor = replay_range(
+        spark, log_dir, mor, 0, n_rows - 1, partition_size=batch, batch_prefix="mor"
+    )
+    mor_sec = time.time() - t0
+    mor_latency = sum(m.seconds for m in mmor) / len(mmor)
+    t0 = time.time()
+    mor_rows = mor.read().count()  # read-time winner resolution cost
+    mor_read_sec = time.time() - t0
+    assert mor_rows == n_rows
+
     # ---- query timings at the SF dir ----
     qfns = entry_mod.queries()
     qsecs: dict[str, float] = {}
@@ -116,6 +130,10 @@ def main() -> None:
             "micro_total_sec": round(micro_sec, 3),
             "merge_latency_avg_sec": round(merge_latency, 3),
             "micro_events_per_sec": round(n_rows / micro_sec, 1),
+            "mor_total_sec": round(mor_sec, 3),
+            "mor_merge_latency_avg_sec": round(mor_latency, 3),
+            "mor_events_per_sec": round(n_rows / mor_sec, 1),
+            "mor_resolved_read_sec": round(mor_read_sec, 3),
         },
         "cpus": cpus,
         "engine_summary": summary,

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 _BUCKET_COL = "__bucket"
 _IS_NEW_COL = "__is_new"
 _RN_COL = "__rn"
+_SNAP_COL = "__snap"
 
 
 @dataclass
@@ -96,12 +97,29 @@ class MergeTable:
         merge_keys: Sequence[str] = ("repo", "path", "commit"),
         order_col: str = "seq",
         n_buckets: int = 32,
+        mode: str = "cow",
+        compact_threshold: int = 8,
     ):
+        """``mode``:
+
+        - ``"cow"`` (copy-on-write): each merge rewrites the touched buckets
+          with winners resolved — reads are raw scans. Best for bulk replay.
+        - ``"mor"`` (merge-on-read): each merge APPENDS a delta file per
+          touched bucket (merge cost O(batch), independent of table size —
+          the Iceberg MOR pattern); winners are resolved at read time, and
+          buckets holding more than ``compact_threshold`` files are
+          compacted inside the next merge's commit. Best for micro-batch
+          streaming where merge-apply latency is the headline metric.
+        """
+        if mode not in ("cow", "mor"):
+            raise ValueError(mode)
         self.spark = spark
         self.root = root
         self.merge_keys = list(merge_keys)
         self.order_col = order_col
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.compact_threshold = compact_threshold
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -142,14 +160,37 @@ class MergeTable:
     def _bucket_expr(self, df: DataFrame):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.merge_keys]), F.lit(self.n_buckets))
 
+    def _resolve_winners(self, df: DataFrame, extra_order=()) -> DataFrame:
+        """Latest row per merge key in ONE bucket-partitioned sort (see
+        merge() §2): order by (keys, order_col desc, __snap desc, extras),
+        keep the first row of every key run."""
+        snap_ord = F.coalesce(F.col(_SNAP_COL), F.lit(-1)).desc()
+        key_struct = F.struct(*[F.col(k) for k in self.merge_keys])
+        w = Window.partitionBy(_BUCKET_COL).orderBy(
+            *self.merge_keys, F.col(self.order_col).desc(), snap_ord, *extra_order
+        )
+        prev_key = F.lag(key_struct).over(w)
+        return (
+            df.withColumn(_RN_COL, prev_key.isNull() | (prev_key != key_struct))
+            .filter(F.col(_RN_COL))
+            .drop(_RN_COL)
+        )
+
     def read(self) -> DataFrame:
-        """Current table state (snapshot-consistent)."""
+        """Current table state (snapshot-consistent). In MOR mode (any
+        bucket holding delta files) superseded versions are resolved here."""
         snap = self.current_snapshot()
         if snap is None or not any(snap["buckets"].values()):
             schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
             return self.spark.createDataFrame([], schema)
         paths = sorted({p for plist in snap["buckets"].values() for p in plist})
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if _SNAP_COL not in df.columns:
+            return df  # legacy files
+        if any(len(v) > 1 for v in snap["buckets"].values()):
+            df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+            df = self._resolve_winners(df)
+        return df.drop(_SNAP_COL)
 
     def latest_state(self, keys: Sequence[str] = ("repo", "path")) -> DataFrame:
         """Latest row per (sub)key by order_col — the 'current file content'
@@ -205,31 +246,31 @@ class MergeTable:
         #    (bucket, key, order desc, is_new desc), keep the first row of
         #    every key run via lag(). All rows of a key share its bucket, so
         #    bucket-partitioning is correct for the per-key window.
-        new_part = batch.withColumn(_BUCKET_COL, self._bucket_expr(batch)).withColumn(
-            _IS_NEW_COL, F.lit(1)
+        #    MOR mode skips the union entirely: only the deduped batch is
+        #    written (as a delta per bucket) and supersession is left to
+        #    read-time resolution — merge cost O(batch), not O(table).
+        mor_append = self.mode == "mor" and bool(existing_paths)
+        new_part = (
+            batch.withColumn(_BUCKET_COL, self._bucket_expr(batch))
+            .withColumn(_SNAP_COL, F.lit(next_id))
+            .withColumn(_IS_NEW_COL, F.lit(1))
         )
-        if existing_paths:
+        if existing_paths and not mor_append:
             existing = self.spark.read.option("mergeSchema", "true").parquet(*existing_paths)
             # bucket value is derivable from the key; recompute rather
             # than trusting directory names (survives schema drift)
             existing = existing.withColumn(_BUCKET_COL, self._bucket_expr(existing))
+            if _SNAP_COL not in existing.columns:
+                existing = existing.withColumn(_SNAP_COL, F.lit(-1))
             existing = existing.withColumn(_IS_NEW_COL, F.lit(0))
             merged = new_part.unionByName(existing, allowMissingColumns=True)
         else:
             merged = new_part
+        resolved = self._resolve_winners(
+            merged, extra_order=(F.col(_IS_NEW_COL).desc(),)
+        ).drop(_IS_NEW_COL)
 
-        key_struct = F.struct(*[F.col(k) for k in self.merge_keys])
-        w = Window.partitionBy(_BUCKET_COL).orderBy(
-            *self.merge_keys, F.col(self.order_col).desc(), F.col(_IS_NEW_COL).desc()
-        )
-        prev_key = F.lag(key_struct).over(w)
-        resolved = (
-            merged.withColumn(_RN_COL, prev_key.isNull() | (prev_key != key_struct))
-            .filter(F.col(_RN_COL))
-            .drop(_RN_COL, _IS_NEW_COL)
-        )
-
-        # 3. write new files for touched buckets only; the data is already
+        # 3. write files for touched buckets only; the data is already
         #    exchanged on the bucket column, so partitionBy writes straight
         #    out of the window's partitioning — no second shuffle
         out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
@@ -242,7 +283,31 @@ class MergeTable:
         for b in touched:
             bpath = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
             if os.path.exists(bpath):
-                new_buckets[str(b)] = [bpath]
+                if mor_append:
+                    new_buckets[str(b)] = new_buckets.get(str(b), []) + [bpath]
+                else:
+                    new_buckets[str(b)] = [bpath]
+
+        # 3b. auto-compaction (MOR): buckets whose delta chain grew past the
+        #     threshold are rewritten to a single winners file inside this
+        #     same commit, bounding read-time resolution cost
+        if mor_append:
+            overlong = {
+                b: fs for b, fs in new_buckets.items() if len(fs) > self.compact_threshold
+            }
+            if overlong:
+                cpaths = sorted({p for fs in overlong.values() for p in fs})
+                cdf = self.spark.read.option("mergeSchema", "true").parquet(*cpaths)
+                cdf = cdf.withColumn(_BUCKET_COL, self._bucket_expr(cdf))
+                if _SNAP_COL not in cdf.columns:
+                    cdf = cdf.withColumn(_SNAP_COL, F.lit(-1))
+                compacted = self._resolve_winners(cdf)
+                cdir = os.path.join(self.root, "data", f"s{next_id:06d}-compact")
+                compacted.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(cdir)
+                for b in overlong:
+                    bpath = os.path.join(cdir, f"{_BUCKET_COL}={b}")
+                    if os.path.exists(bpath):
+                        new_buckets[b] = [bpath]
 
         snapshot = {
             "id": next_id,

@@ -1,0 +1,47 @@
+"""Merge-on-read mode: same semantics as copy-on-write, O(batch) merges,
+auto-compaction."""
+
+from pyspark.sql import functions as F
+
+from ethereum_etl_spark.plans.merge import MergeTable
+from ethereum_etl_spark.plans.normalize import normalize_changes
+from ethereum_etl_spark.sources.datagen import generate_repo_changes
+
+
+def _state(table):
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["seq"], r["sha256"])
+        for r in table.read().collect()
+    )
+
+
+def test_mor_equals_cow_and_compacts(spark, tmp_path):
+    changes = generate_repo_changes(spark, 3000, seed=21, partitions=4)
+    cow = MergeTable(spark, str(tmp_path / "cow"), n_buckets=4, mode="cow")
+    mor = MergeTable(spark, str(tmp_path / "mor"), n_buckets=4, mode="mor",
+                     compact_threshold=3)
+
+    # six micro-batches; overlapping replay of batch 2 under a new id
+    ranges = [(0, 499), (500, 999), (1000, 1499), (500, 1499), (1500, 2299), (2300, 2999)]
+    for i, (s, e) in enumerate(ranges):
+        b = normalize_changes(changes.filter((F.col("seq") >= s) & (F.col("seq") <= e)))
+        cow.merge(b, f"b{i}")
+        mor.merge(b, f"b{i}")
+
+    assert _state(mor) == _state(cow)
+    assert mor.read().count() == 3000  # unique keys, superseded rows resolved
+
+    # compaction happened: no bucket chain exceeds the threshold
+    snap = mor.current_snapshot()
+    assert all(len(v) <= 3 for v in snap["buckets"].values())
+    assert any(len(v) > 1 for v in snap["buckets"].values())  # still MOR deltas
+
+    # batch-id idempotence unchanged
+    redo = mor.merge(
+        normalize_changes(changes.filter(F.col("seq") <= 499)), "b0"
+    )
+    assert redo.noop
+
+    # latest_state over the resolved view
+    ls = mor.latest_state(keys=("repo", "path"))
+    assert ls.count() == mor.read().select("repo", "path").distinct().count()
