@@ -133,8 +133,16 @@ def export_knowledge_graph(
         F.col("delta").cast("decimal(38,0)").alias("_delta"),
         F.col("block_number").alias("_bn"),
     )
+    prev_df = None
     if tables.wallets.current_snapshot() is not None:
-        prev = tables.wallets.read().select(
+        # bucket-pruned lookup: read only the state buckets this batch's
+        # keys hash into — cycle cost scales with the delta, not the table
+        touched = tables.wallets.touched_buckets(totals)
+        candidate = tables.wallets.read(buckets=touched)
+        if "balance" in candidate.columns:  # empty prune -> key-only schema
+            prev_df = candidate
+    if prev_df is not None:
+        prev = prev_df.select(
             "address",
             "token_address",
             F.col("balance").cast("decimal(38,0)").alias("_prev"),

@@ -176,21 +176,42 @@ class MergeTable:
             .drop(_RN_COL)
         )
 
-    def read(self) -> DataFrame:
+    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
         """Current table state (snapshot-consistent). In MOR mode (any
-        bucket holding delta files) superseded versions are resolved here."""
+        bucket holding delta files) superseded versions are resolved here.
+
+        ``buckets`` prunes the scan to the given bucket ids — the
+        lookup-side optimization for read-modify-write accumulates: a cycle
+        touching k of N buckets reads k/N of the table, not all of it."""
         snap = self.current_snapshot()
         if snap is None or not any(snap["buckets"].values()):
             schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
             return self.spark.createDataFrame([], schema)
-        paths = sorted({p for plist in snap["buckets"].values() for p in plist})
+        wanted = (
+            snap["buckets"]
+            if buckets is None
+            else {str(b): snap["buckets"].get(str(b), []) for b in buckets}
+        )
+        paths = sorted({p for plist in wanted.values() for p in plist})
+        if not paths:
+            schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
+            return self.spark.createDataFrame([], schema)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if _SNAP_COL not in df.columns:
             return df  # legacy files
-        if any(len(v) > 1 for v in snap["buckets"].values()):
+        if any(len(v) > 1 for v in wanted.values()):
             df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
             df = self._resolve_winners(df)
         return df.drop(_SNAP_COL)
+
+    def touched_buckets(self, df: DataFrame) -> list[int]:
+        """Bucket ids a batch's keys hash into (column-pruned aggregate)."""
+        rows = (
+            df.select(self._bucket_expr(df).alias(_BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r[0]) for r in rows)
 
     def latest_state(self, keys: Sequence[str] = ("repo", "path")) -> DataFrame:
         """Latest row per (sub)key by order_col — the 'current file content'
