@@ -60,6 +60,7 @@ from ethereum_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine_portable,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
     sign_lsh_key,
 )
@@ -566,6 +567,18 @@ def q_daily_checkpoint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets analytics (free in Spark per SURVEY §2.6): CUBE over
+    (event_type, day) with counts and exact-decimal totals."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_d2(F.col("value"))).alias("_t"))
+        .select("day", "event_type", "n", _dstr(F.col("_t")).alias("total"))
+    )
+
+
 def q_purchase_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _t(spark, sf_dir, "events")
@@ -931,6 +944,24 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: every 50th vector is a centroid, corpus assigned to nearest
+    cell, queries probe their 2 nearest cells, exact re-rank."""
+    _utc(spark)
+    emb = _tp(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), centroids, k=5, nprobe=2,
+        score_fn=cosine_portable,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
@@ -1063,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_rollup": q_windowed_event_rollup,
         "seq_range_by_day": q_seq_range_by_day,
         "daily_checkpoint_gate": q_daily_checkpoint_gate,
+        "event_type_cube": q_event_type_cube,
         "purchase_filter_pushdown": q_purchase_filter_pushdown,
         "token_transfer_decode": q_token_transfer_decode,
         "abi_event_decode": q_abi_event_decode,
@@ -1083,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_bucket_keys": q_lsh_bucket_keys,
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
@@ -1238,6 +1271,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, min(event_id) AS first_event_id,
                    arg_min(event_type, event_id) AS first_event_type
             FROM events GROUP BY 1
+        """,
+        "event_type_cube": f"""
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
+                   {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
+            FROM events GROUP BY CUBE (1, 2)
         """,
         "purchase_filter_pushdown": f"""
             SELECT event_id, user_id, {vdec} AS value
@@ -1495,6 +1533,34 @@ def oracle_sql() -> dict[str, str]:
                               {_sql_cos("e.embedding", "q.qv")} AS cos
                        FROM e JOIN q ON e.bucket = q.bucket
                        WHERE e.vec_id <> q.query_id),
+            ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+                       FROM scored)
+            SELECT query_id, neighbor_id, rnk,
+                   CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM ranked WHERE rnk <= 5
+        """,
+        "ann_topk_ivf": f"""
+            WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                          FROM embeddings WHERE vec_id % 50 = 0),
+            assign AS (
+                SELECT vec_id, embedding, centroid_id AS cell FROM (
+                    SELECT e.vec_id, e.embedding, c.centroid_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               {_sql_cos("e.embedding", "c.cvec")} DESC, c.centroid_id) AS rn
+                    FROM embeddings e, cent c) WHERE rn = 1),
+            qcells AS (
+                SELECT query_id, qvec, cell FROM (
+                    SELECT q.vec_id AS query_id, q.embedding AS qvec,
+                           c.centroid_id AS cell,
+                           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                               {_sql_cos("q.embedding", "c.cvec")} DESC, c.centroid_id) AS rn
+                    FROM embeddings q, cent c WHERE q.vec_id < 3) WHERE rn <= 2),
+            scored AS (
+                SELECT qc.query_id, a.vec_id AS neighbor_id,
+                       {_sql_cos("qc.qvec", "a.embedding")} AS cos
+                FROM assign a JOIN qcells qc ON a.cell = qc.cell
+                WHERE a.vec_id <> qc.query_id),
             ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
                            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
                        FROM scored)

@@ -170,6 +170,81 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid per vector (cosine argmax).
+
+    Centroids are a small dim (broadcast); assignment is one pass over the
+    corpus — at cluster scale the assigned table is written out partitioned
+    by cell so probes are partition-pruned scans."""
+    score_fn = score_fn or _default_score
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        vec_col,
+        "centroid_id",
+        score_fn(F.col(vec_col), F.col("cvec")).alias("_cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest cells, exact
+    cosine re-rank within the candidate union — the inverted-file scale path
+    alongside the sign-LSH variant."""
+    score_fn = score_fn or _default_score
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, score_fn)
+
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qscore = qs.crossJoin(F.broadcast(c)).select(
+        "query_id", "qvec", "centroid_id",
+        score_fn(F.col("qvec"), F.col("cvec")).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    qcells = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
+    )
+
+    cand = assigned.join(F.broadcast(qcells), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    # each corpus vector lives in exactly one cell, so (query, neighbor)
+    # pairs are already unique — no dedup shuffle needed
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        score_fn(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

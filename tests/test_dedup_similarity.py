@@ -15,6 +15,7 @@ from ethereum_etl_spark.operators.dedup import (
 from ethereum_etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -108,6 +109,20 @@ def test_lsh_topk_recall(spark, embeddings):
     assert len(approx_set) > 0
     assert all(r["cos_sim"] <= 1.0 + 1e-9 for r in approx)
     # sanity: with only 4 bits, buckets are big → decent overlap expected
+    assert len(exact_set & approx_set) >= len(exact_set) * 0.2
+
+
+def test_ivf_topk_recall_and_self_cell(spark, embeddings):
+    corpus = embeddings.limit(300).cache()
+    queries = corpus.filter(F.col("vec_id") < 5)
+    centroids = corpus.filter(F.col("vec_id") % 30 == 0)  # 10 cells
+    exact = brute_force_topk(corpus, queries, k=3).collect()
+    approx = ivf_topk(corpus, queries, centroids, k=3, nprobe=3).collect()
+    assert len(approx) > 0
+    assert all(r["cos_sim"] <= 1.0 + 1e-9 for r in approx)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # probing 3 of 10 cells: meaningful overlap with the exact result
     assert len(exact_set & approx_set) >= len(exact_set) * 0.2
 
 
