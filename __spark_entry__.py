@@ -306,6 +306,29 @@ _SQL_CORPUS = """
     FROM documents WHERE doc_id % 7 = 0
 """
 
+def _sql_media_phex(n: int = 300) -> str:
+    """DuckDB regeneration of synthesize_media(spark, n): media_id, kind,
+    duration_ms and the payload's lowercase hex (8 concatenated md5s)."""
+    phex = " || ".join(
+        f"md5('media:42:{i}:' || CAST(mid AS VARCHAR))" for i in range(8)
+    )
+    return f"""
+        SELECT mid AS media_id,
+               (['image','audio','video'])[(mid % 3)::INT + 1] AS kind,
+               (mid * 40) % 60000 AS duration_ms,
+               {phex} AS phex
+        FROM (SELECT i AS mid FROM unnest(range(0, {n})) AS t(i))
+    """
+
+
+def _sql_hexbyte(col: str, j: int) -> str:
+    """DuckDB: byte ``j`` (0-based) of a lowercase-hex varchar, as an int."""
+    return (
+        f"((strpos('0123456789abcdef', substr({col},{2 * j + 1},1))-1)*16"
+        f" + (strpos('0123456789abcdef', substr({col},{2 * j + 2},1))-1))"
+    )
+
+
 # DuckDB replication of the portable cosine (products quantized to
 # DECIMAL(18,6), exact decimal sums, double division)
 def _sql_cos(a: str, b: str) -> str:
@@ -988,7 +1011,9 @@ def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knowledge_graph_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship composite (SURVEY §3.1): raw blocks + one multiplexed log
     stream -> blocks/transactions/token_transfers/events/wallets tables in
-    one pass, returning the reference-shaped wallet documents."""
+    one pass, returning the normalized wallet state (the reference's
+    {token: balance} documents are ``wallet_map_view`` over exactly these
+    rows — returned flat so every balance is value-checked by the oracle)."""
     _utc(spark)
     ev = _tp(spark, sf_dir, "events")
     raw_blocks = _synth_raw_blocks(ev)
@@ -999,7 +1024,9 @@ def q_knowledge_graph_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_knowledge_graph(
         raw_blocks, raw_logs, tables, abis=[_DEPOSIT_ABI], batch_id="drv"
     )
-    return wallet_map_view(tables)
+    return tables.wallets.read().select(
+        "address", "token_address", "balance", "at_block_number"
+    )
 
 def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC slice: deterministic change log -> normalize -> idempotent
@@ -1072,7 +1099,17 @@ def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     media = synthesize_media(spark, 300)
-    return extract_image_features(media, feat_dim=16)
+    feats = extract_image_features(media, feat_dim=16)
+    # each feature is k/2^24 (float32-exact, see _fake_features); render the
+    # exact integer grid as CSV so the value-hash is engine-portable
+    q24 = F.transform(
+        F.col("features"),
+        lambda x: (x.cast("double") * F.lit(16777216.0)).cast("long").cast("string"),
+    )
+    return feats.select(
+        "media_id", "kind", "feat_dim", "decode_ok",
+        F.concat_ws(",", q24).alias("features_q24"),
+    )
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1601,8 +1638,53 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN seq >= 1000 THEN 'approved' END AS review_state
             FROM ({_sql_normalized_changes(seed=13, n=2000)})
         """,
-        # knowledge_graph_cycle / multimodal_*: intentionally omitted —
-        # multi-table merge snapshots and mapInPandas media kernels are not
-        # single-statement-SQL-expressible; the driver records the weaker
-        # rows-only check for them.
+        # knowledge_graph_cycle: the wallet state is pure integer arithmetic
+        # over the multiplexed synthetic log stream — the transfer logs PLUS
+        # the event logs whose noise topic0 collides with Transfer and whose
+        # data happens to split into exactly 4 words (eid%4==1 and eid%9<>2):
+        # the F1/F6 guards admit them as transfers, so the oracle does too.
+        "knowledge_graph_cycle": f"""
+            WITH t AS (
+                SELECT from_address, to_address, token_address, block_number,
+                       {_sql_hex_to_hugeint("vhex", 24)} AS value
+                FROM ({_SQL_TRANSFER_LOG_BASE})
+                UNION ALL
+                SELECT '0x' || {_sql_a40("user:", "user_id")},
+                       '0x' || repeat('0', 16) ||
+                           substr(md5('amt:' || CAST(event_id AS VARCHAR)), 1, 24),
+                       '0x' || {_sql_a40("pool:", "event_id % 7")},
+                       (event_id // 10)::BIGINT,
+                       {_sql_hex_to_hugeint("substr(md5('sh:' || CAST(event_id AS VARCHAR)), 1, 16)", 16)}
+                FROM events WHERE event_id % 4 = 1 AND event_id % 9 <> 2),
+            d AS (
+                SELECT from_address AS address, token_address, -value AS delta,
+                       block_number FROM t
+                UNION ALL
+                SELECT to_address, token_address, value, block_number FROM t)
+            SELECT address, token_address,
+                   CAST(SUM(delta) AS VARCHAR) AS balance,
+                   MAX(block_number)::BIGINT AS at_block_number
+            FROM d GROUP BY 1, 2
+        """,
+        "multimodal_image_features": f"""
+            WITH m AS (SELECT media_id, kind, sha256(phex) || sha256(phex) AS rep
+                       FROM ({_sql_media_phex(300)}) WHERE kind = 'image')
+            SELECT media_id, kind, 16::INT AS feat_dim, TRUE AS decode_ok,
+                   {" || ',' || ".join(
+                       "CAST(("
+                       + _sql_hexbyte("rep", 3 * i) + "*65536 + "
+                       + _sql_hexbyte("rep", 3 * i + 1) + "*256 + "
+                       + _sql_hexbyte("rep", 3 * i + 2)
+                       + ") AS VARCHAR)"
+                       for i in range(16)
+                   )} AS features_q24
+            FROM m
+        """,
+        "multimodal_frame_sample": f"""
+            SELECT media_id, f::INT AS frame_idx,
+                   sha256(phex || ':' || CAST(f AS VARCHAR)) AS frame_sha256
+            FROM ({_sql_media_phex(300)}),
+                 unnest(range(greatest(duration_ms // 1000, 1))) AS t2(f)
+            WHERE kind = 'video'
+        """,
     }

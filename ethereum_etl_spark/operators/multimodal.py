@@ -58,10 +58,20 @@ def synthesize_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFr
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic pseudo-embedding from payload bytes (the stub kernel)."""
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * (dim * 4 // len(h) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw.astype(np.float64) / 2**32).astype(np.float32)
+    """Deterministic pseudo-embedding from payload bytes (the stub kernel).
+
+    Oracle-friendly by construction: the digest is sha256 of the payload's
+    lowercase HEX (a varchar both engines hash identically), and each value
+    is k/2^24 with k a 3-byte big-endian slice of the repeated digest — k has
+    at most 24 significant bits, so k/2^24 is exactly representable in
+    float32 and the exact integer k is recoverable as value*2^24 in any
+    engine (no float-stringification hazard in the correctness gate).
+    """
+    h = hashlib.sha256(bytes(payload).hex().encode()).digest()
+    rep = (h * (dim * 3 // len(h) + 1))[: dim * 3]
+    arr = np.frombuffer(rep, dtype=np.uint8).reshape(dim, 3).astype(np.uint32)
+    k = arr[:, 0] * 65536 + arr[:, 1] * 256 + arr[:, 2]
+    return (k.astype(np.float64) / 2**24).astype(np.float32)
 
 
 def extract_image_features(
@@ -117,10 +127,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, backend: str = "fake")
             ids, idxs, shas = [], [], []
             for mid, dur, payload in zip(pdf["media_id"], pdf["duration_ms"], pdf["payload"]):
                 n = max(int(dur) // every_ms, 1)
+                phex = bytes(payload).hex()
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
-                    shas.append(hashlib.sha256(bytes(payload) + i.to_bytes(4, "big")).hexdigest())
+                    # digest of "payloadhex:idx" — varchar-only input, so the
+                    # DuckDB oracle regenerates the identical digests
+                    shas.append(hashlib.sha256(f"{phex}:{i}".encode()).hexdigest())
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_sha256": shas})
 
     return media.filter(F.col("kind") == "video").select(
