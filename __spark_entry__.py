@@ -1423,7 +1423,8 @@ def oracle_sql() -> dict[str, str]:
                    'Token ' || CAST(tid AS VARCHAR) AS name,
                    {_sql_hex_to_hugeint("substr(md5('dec:' || CAST(tid AS VARCHAR)), 1, 1)", 1)}::BIGINT AS decimals,
                    CAST({_sql_hex_to_hugeint("substr(md5('ts:' || CAST(tid AS VARCHAR)), 1, 24)", 24)} AS VARCHAR) AS total_supply,
-                   tid * 100 AS block_number
+                   tid * 100 AS block_number,
+                   '0x' || substr(md5('ts:' || CAST(tid AS VARCHAR)), 1, 24) AS total_supply_hex
             FROM t
         """,
         "lending_positions": f"""

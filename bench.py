@@ -124,13 +124,21 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         qsecs[name] = round(time.time() - t0, 3)
 
-    total = round(replay_sec + micro_sec + sum(qsecs.values()), 3)
+    # skipped queries must not make the headline LOOK faster: charge each
+    # skip the worst observed query time (floored at 60 s) so a throttled,
+    # incomplete run reports a total comparable-or-worse vs a complete one
+    skip_penalty = round(
+        len(skipped) * max(max(qsecs.values(), default=0.0), 60.0), 3
+    ) if skipped else 0.0
+    total = round(replay_sec + micro_sec + sum(qsecs.values()) + skip_penalty, 3)
     out = {
         "metric": "cdc_replay_and_query_bench_total_sec",
         "value": total,
         "unit": "sec",
         "queries": qsecs,
         "sf": sf,
+        "complete": not skipped,
+        "skip_penalty_sec": skip_penalty,
         "cdc_replay": {
             "events": n_rows,
             "replay_sec": round(replay_sec, 3),

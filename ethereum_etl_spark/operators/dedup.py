@@ -100,6 +100,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 8,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, Jaccard-verified.
 
@@ -107,6 +108,13 @@ def minhash_lsh_pairs(
     self-equi-join on (band_key) with id< id ordering → dedup pairs →
     exact-Jaccard filter. The join key is the band bucket — hot buckets are
     bounded by band width; no cross join ever materializes.
+
+    The signature table is read three times (band keys + both verify sides),
+    so it is cached for the computation; with ``materialize=True`` (default)
+    the result is written out eagerly and the cache released before
+    returning — repeated invocations leak no cached blocks. Pass
+    ``materialize=False`` to keep the lazy plan (caller owns the cache; at
+    cluster scale, write the signature table bucketed by band_key instead).
     """
     rows_per_band = n_hashes // bands
     n_digests = (n_hashes + 3) // 4
@@ -153,7 +161,7 @@ def minhash_lsh_pairs(
     sh_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("_sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("_sh_b"))
     na, nb = F.size("_sh_a"), F.size("_sh_b")
-    return (
+    pairs = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .filter(F.least(na, nb).cast("double") >= threshold * F.greatest(na, nb))
@@ -164,6 +172,14 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if not materialize:
+        return pairs
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="minhash_pairs_")
+    pairs.write.mode("overwrite").parquet(out_dir)
+    base.unpersist()
+    return df.sparkSession.read.parquet(out_dir)
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:

@@ -137,7 +137,15 @@ def export_logs(raw_logs: DataFrame) -> DataFrame:
     )
 
 
-TOKEN_FIELDS = ["address", "symbol", "name", "decimals", "total_supply", "block_number"]
+TOKEN_FIELDS = [
+    "address", "symbol", "name", "decimals", "total_supply", "block_number",
+    # extra durable column vs the reference list: hex_to_dec_native caps at
+    # DECIMAL(38,0) (~16^31), so legal uint256 supplies above that would
+    # otherwise export NULL with the value lost; the canonical hex string is
+    # kept as the lossless truth (the reference stringifies the unbounded
+    # int at the sink, knowledge_graph_exporter.py:93-97)
+    "total_supply_hex",
+]
 
 
 def export_tokens(raw_tokens: DataFrame) -> DataFrame:
@@ -156,6 +164,7 @@ def export_tokens(raw_tokens: DataFrame) -> DataFrame:
         hex_to_dec_long(F.col("decimals")).alias("decimals"),
         hex_to_dec_native(F.col("totalSupply")).alias("total_supply"),
         F.col("block_number"),
+        F.lower(F.col("totalSupply")).alias("total_supply_hex"),
     )
 
 

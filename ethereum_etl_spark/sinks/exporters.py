@@ -86,10 +86,20 @@ def render_unix_timestamps(df: DataFrame, cols: list[str] | None = None) -> Data
     (converters/unix_timestamp_item_converter.py). UTC, like the reference's
     datetime.utcfromtimestamp."""
     targets = cols or [f.name for f in df.schema.fields if f.name.endswith("timestamp")]
+    # date_format renders in the SESSION timezone, so shift the instant by
+    # -offset(session_tz) first (to_utc_timestamp with the *actual* session
+    # zone, read from conf) — the rendered wall time is then UTC no matter
+    # what zone the session runs in. A literal 'UTC' here would be a no-op
+    # shift and silently emit session-local wall time.
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     out = df
     for c in targets:
         out = out.withColumn(
-            c, F.date_format(F.to_utc_timestamp(F.from_unixtime(F.col(c)), "UTC"), "yyyy-MM-dd HH:mm:ss")
+            c,
+            F.date_format(
+                F.to_utc_timestamp(F.timestamp_seconds(F.col(c)), session_tz),
+                "yyyy-MM-dd HH:mm:ss",
+            ),
         )
     return out
 
