@@ -48,6 +48,7 @@ from ethereum_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dedup,
+    simhash_hamming_pairs,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
 from ethereum_etl_spark.operators.lending import vtoken_positions
@@ -369,6 +370,30 @@ def _sql_simhash(hashes_col: str, bits: int) -> str:
         vote = f"list_sum(list_transform({hashes_col}, h -> {bit}))"
         parts.append(f"CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _sql_simhash_hex(hashes_col: str, bits: int) -> str:
+    """DuckDB replication of simhash_hex: 64 per-bit votes -> hex chars."""
+    def vote(j: int) -> str:
+        bit = (
+            f"((((strpos('0123456789abcdef', substr(h,{j // 4 + 1},1))-1) >> {j % 4})"
+            f" & 1) * 2 - 1)"
+        )
+        return f"list_sum(list_transform({hashes_col}, h -> {bit}))"
+
+    digits = []
+    for i in range(bits // 4):
+        d = " + ".join(
+            f"(CASE WHEN {vote(4 * i + r)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(4)
+        )
+        digits.append(f"substr('0123456789abcdef', ({d}) + 1, 1)")
+    return "(" + " || ".join(digits) + ")"
+
+
+def _sql_hex16_int(col: str, chunk: int) -> str:
+    """DuckDB: 16-bit chunk ``chunk`` of a hex fingerprint as BIGINT."""
+    return f"CAST({_sql_hex_to_hugeint(f'substr({col},{4 * chunk + 1},4)', 4)} AS BIGINT)"
 
 
 def _sql_lang_pred(padded: str) -> tuple[str, str]:
@@ -911,6 +936,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(corpus, "doc_id", "text", bits=16)
 
 
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs within Hamming <= 3 via the banded
+    multi-index (pigeonhole over 4 bands) — the at-scale simhash dedup."""
+    _utc(spark)
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
+    return simhash_hamming_pairs(
+        corpus, "doc_id", "text", bits=64, bands=4, max_hamming=3
+    )
+
+
 def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     corpus = _dedup_corpus(_tp(spark, sf_dir, "documents"))
@@ -1147,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1521,6 +1557,28 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT doc_id, {_sql_simhash("hs", 16)} AS simhash FROM tok)
             SELECT simhash, min(doc_id) AS doc_id, count(*)::BIGINT AS n_docs
             FROM sh GROUP BY simhash
+        """,
+        "dedup_simhash_hamming": f"""
+            WITH c AS ({_SQL_CORPUS}),
+            tok AS (SELECT doc_id, list_transform(
+                        list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> length(t) > 0), t -> md5(t)) AS hs
+                    FROM c),
+            fps AS (SELECT doc_id, {_sql_simhash_hex("hs", 64)} AS fp FROM tok),
+            banded AS (SELECT doc_id, fp, bi, substr(fp, bi::INT * 4 + 1, 4) AS bv
+                       FROM fps, unnest(range(4)) AS t(bi)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.fp AS fa, b.fp AS fb
+                     FROM banded a JOIN banded b
+                       ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, hamming FROM (
+                SELECT id_a, id_b,
+                       ({" + ".join(
+                           f"bit_count(xor({_sql_hex16_int('fa', c)}, {_sql_hex16_int('fb', c)}))"
+                           for c in range(4)
+                       )})::BIGINT AS hamming
+                FROM cand)
+            WHERE hamming <= 3
         """,
         "dedup_ngram_pairs": f"""
             WITH c AS ({_SQL_CORPUS}),

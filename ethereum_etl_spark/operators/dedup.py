@@ -191,54 +191,200 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
 
 # ---------------- simhash ----------------
 
-def _hex_digit_bit(hexcol: Column, pos: int) -> Column:
-    """Bit `pos%4` of hex digit `pos//4` of a digest — a cheap, engine-portable
-    bit extractor (conv(digit,16,10) then shift/mask)."""
-    digit = F.conv(F.substring(hexcol, pos // 4 + 1, 1), 16, 10).cast("int")
-    return F.shiftright(digit, pos % 4).bitwiseAND(F.lit(1))
+_HEX_CHARS = "0123456789abcdef"
 
 
-def simhash_bits(col: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint as an int: per-token md5 bit votes → sign.
+def simhash_votes(col: Column, bits: int, finish=None) -> Column:
+    """Per-bit SimHash vote counters as an ``array<long>`` of length ``bits``.
 
-    Whitespace tokens; bit j of the fingerprint is 1 iff the sum over tokens
-    of (2*bit_j(md5(token)) - 1) is positive. Fully columnar: aggregate()
-    over the token array per bit — no UDF, and bit-for-bit reproducible in
-    SQL (the DuckDB oracle replays the same md5 arithmetic).
+    Whitespace tokens; vote j = sum over tokens of (2*bit_j(md5(token)) − 1),
+    where bit_j is bit ``j%4`` of hex digit ``j//4`` of the digest. ONE
+    aggregate() pass with an **array accumulator**: per token the ±1 bit
+    array is built by transform/flatten and zip_with-added into the
+    accumulator. Unlike the previous bits-wide struct accumulator (whose
+    generated code exceeded the JVM method-size limit at 16 bits and fell
+    back to interpreted evaluation), the array form compiles to loops —
+    whole-stage codegen survives at any width up to md5's 128 bits.
+
+    ``finish``: optional lambda applied to the vote array INSIDE the
+    aggregate — consumers that reference individual votes many times (the
+    hex fingerprint reads all 64) must fold here, where the accumulator is
+    a lambda *variable*; referencing the returned expression N times would
+    inline — and re-evaluate — the whole aggregate N times (a measured 70×
+    slowdown for the 64-bit fingerprint).
     """
+    if bits > 128:
+        raise ValueError("md5 provides at most 128 bits")
+    n_nibbles = (bits + 3) // 4
     toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
     hashes = F.transform(toks, lambda t: F.md5(t))
 
-    # ONE aggregate pass with a struct accumulator of per-bit vote counters:
-    # each token is digested exactly once (the digest array is materialized
-    # by the transform above), instead of one aggregate — and one md5 pass —
-    # per bit
-    acc0 = F.struct(*[F.lit(0).cast("long").alias(f"b{j}") for j in range(bits)])
-
-    def _merge(acc: Column, h: Column) -> Column:
-        return F.struct(
-            *[
-                (acc[f"b{j}"] + (_hex_digit_bit(h, j) * 2 - 1).cast("long")).alias(f"b{j}")
-                for j in range(bits)
-            ]
+    def pm1(h: Column) -> Column:
+        # hex chars -> nibble values -> 4 ±1 bits each (LSB-first), flattened
+        nibbles = F.transform(
+            F.slice(F.split(h, ""), 1, n_nibbles),
+            lambda c: F.conv(c, 16, 10).cast("int"),
+        )
+        return F.slice(
+            F.flatten(
+                F.transform(
+                    nibbles,
+                    lambda v: F.array(
+                        *[
+                            ((F.shiftright(v, r).bitwiseAND(F.lit(1))) * 2 - 1).cast("long")
+                            for r in range(4)
+                        ]
+                    ),
+                )
+            ),
+            1,
+            bits,
         )
 
-    votes = F.aggregate(hashes, acc0, _merge)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        out = out + F.when(votes[f"b{j}"] > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    acc0 = F.array_repeat(F.lit(0).cast("long"), bits)
+    return F.aggregate(
+        hashes, acc0, lambda acc, h: F.zip_with(acc, pm1(h), lambda a, b: a + b),
+        finish,
+    )
+
+
+def simhash_bits(col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint as a BIGINT (``bits`` ≤ 62): per-token md5 bit
+    votes → sign. Bit-for-bit reproducible in SQL (the DuckDB oracle replays
+    the same md5 arithmetic)."""
+    if bits > 62:
+        raise ValueError("use simhash_hex for fingerprints wider than 62 bits")
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+
+    def finish(votes: Column) -> Column:
+        signed = F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
         )
-    return out
+        return F.aggregate(signed, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    return simhash_votes(col, bits, finish)
+
+
+def simhash_hex(col: Column, bits: int = 64) -> Column:
+    """SimHash fingerprint as a lowercase hex string of ``bits/4`` chars —
+    the at-scale representation: 64-bit default (16 hex chars), no BIGINT
+    sign-bit ceiling, substring-sliceable into LSH bands. Hex digit i packs
+    votes 4i..4i+3 (LSB-first within the digit)."""
+    if bits % 4:
+        raise ValueError("bits must be a multiple of 4")
+    chars = F.array(*[F.lit(c) for c in _HEX_CHARS])
+
+    def finish(votes: Column) -> Column:
+        digits = F.transform(
+            F.sequence(F.lit(0), F.lit(bits // 4 - 1)),
+            lambda i: sum(
+                F.when(F.element_at(votes, (i * 4 + r + 1).cast("int")) > 0, F.lit(1 << r))
+                .otherwise(F.lit(0))
+                for r in range(4)
+            ),
+        )
+        return F.array_join(F.transform(digits, lambda d: F.element_at(chars, d + 1)), "")
+
+    return simhash_votes(col, bits, finish)
 
 
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """Docs sharing a fingerprint collapse to the min-id survivor."""
+    """Docs sharing a fingerprint collapse to the min-id survivor (exact-
+    fingerprint collapse; for near-dup detection at scale use
+    ``simhash_hamming_pairs``, which catches Hamming-distance neighbors)."""
     return (
         df.withColumn("simhash", simhash_bits(F.col(text_col), bits))
         .groupBy("simhash")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_docs"))
     )
+
+
+def hamming_distance_hex(fp_a: Column, fp_b: Column, bits: int) -> Column:
+    """Hamming distance between two equal-width hex fingerprints: XOR +
+    popcount over 16-bit chunks — pure JVM column ops in Spark, and the
+    identical xor/bit_count arithmetic exists in ANSI engines."""
+    n_chunks = (bits + 15) // 16
+    terms = [
+        F.bit_count(
+            F.conv(F.substring(fp_a, 4 * c + 1, 4), 16, 10)
+            .cast("long")
+            .bitwiseXOR(F.conv(F.substring(fp_b, 4 * c + 1, 4), 16, 10).cast("long"))
+        )
+        for c in range(n_chunks)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``max_hamming`` of the
+    ``bits``-wide SimHash — the multi-index scheme that makes SimHash an
+    actual dedup tool at 10^10 docs (exact-fingerprint equality misses
+    almost all true near-dups at 64 bits).
+
+    Multi-index (pigeonhole): split the fingerprint into ``bands``
+    contiguous bands; any pair with Hamming ≤ bands−1 agrees exactly on at
+    least one band, so candidates come from ``bands`` *equi-joins* on
+    (band_idx, band_value) — never all-pairs. ``max_hamming`` must be
+    < ``bands`` for exact recall. The verify step is a cheap XOR popcount
+    on the 16-char fingerprints carried through the join (no second join
+    back to the corpus).
+
+    Scale shape: the banded table is slim (id, 16-char fp, band key);
+    band values are ``bits/bands`` wide (16 bits at the defaults → 65k
+    buckets per band, and band values distribute ~uniformly because md5
+    bits are balanced), so the self-join is a bounded-bucket equi-join.
+    """
+    if max_hamming >= bands:
+        raise ValueError("exact recall needs max_hamming < bands (pigeonhole)")
+    if bits % (4 * bands):
+        raise ValueError("bands must evenly split the hex fingerprint")
+    width = bits // 4 // bands  # hex chars per band
+    base = df.select(
+        F.col(id_col).alias("id"), simhash_hex(F.col(text_col), bits).alias("fp")
+    )
+    # barrier: project-collapse would otherwise inline the fingerprint
+    # aggregate into the band substrings below (re-evaluating it per band);
+    # the exchange pins one evaluation per row, and the shuffled rows are
+    # slim (id, 16-char fp) — negligible vs the fingerprint compute
+    base = base.repartition(F.col("id"))
+    banded = base.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(*[F.substring(F.col("fp"), b * width + 1, width) for b in range(bands)])
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()  # a pair colliding in several bands is verified once
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming_distance_hex(F.col("fp_a"), F.col("fp_b"), bits).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------- n-gram jaccard ----------------

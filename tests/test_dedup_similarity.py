@@ -10,7 +10,10 @@ from ethereum_etl_spark.operators.dedup import (
     minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_bits,
     simhash_dedup,
+    simhash_hamming_pairs,
+    simhash_hex,
 )
 from ethereum_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -75,6 +78,38 @@ def test_simhash_collapses_identical_docs(spark, docs):
     out = simhash_dedup(both, "doc_id", "text", bits=16)
     assert out.filter(F.col("n_docs") >= 2).count() >= 1
     assert out.count() < 60  # at least the 10 identical pairs collapsed
+
+
+def test_simhash_hex_consistent_with_bits(spark, docs):
+    # the low 16 bits of the 64-bit hex fingerprint equal the BIGINT
+    # fingerprint at bits=16 (same votes, same bit order, hex LSB-first)
+    rows = (
+        docs.limit(20)
+        .select(
+            simhash_bits(F.col("text"), 16).alias("i16"),
+            simhash_hex(F.col("text"), 64).alias("h64"),
+        )
+        .collect()
+    )
+    for r in rows:
+        low16 = int("".join(reversed(r["h64"][:4])), 16)  # digits are LSB-first
+        assert low16 == r["i16"], (r["h64"], r["i16"])
+
+
+def test_simhash_hamming_pairs_multi_index(spark, docs):
+    base = docs.limit(40).select("doc_id", "text")
+    exact = base.withColumn("doc_id", F.col("doc_id") + 900_000)
+    both = base.unionByName(exact)
+    pairs = simhash_hamming_pairs(both, "doc_id", "text", bits=64, bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # identical docs → hamming 0, guaranteed found (pigeonhole: any pair with
+    # hamming <= bands-1 shares at least one exact band)
+    planted = {(i, i + 900_000) for (i,) in base.select("doc_id").collect()}
+    assert planted <= set(got)
+    assert all(got[p] == 0 for p in planted)
+    assert all(h <= 3 for h in got.values())
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(both, "doc_id", "text", bands=4, max_hamming=4)
 
 
 def test_brute_force_topk_matches_numpy(spark, embeddings):
