@@ -61,6 +61,7 @@ from ethereum_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine_portable,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_banded,
     ivf_topk,
     lsh_topk,
     sign_lsh_key,
@@ -1035,6 +1036,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale near-dup variant: 4 bands x 4-bit sign-LSH keys, union
+    of band matches, dedup, exact-cosine verify."""
+    _utc(spark)
+    emb = _tp(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    both = emb.unionByName(planted)
+    pairs = embedding_near_dup_pairs_banded(
+        both, threshold=0.9, bands=4, bits_per_band=4, score_fn=cosine_portable
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim")
+    )
+
+
 def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
@@ -1190,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "lsh_bucket_keys": q_lsh_bucket_keys,
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
         "cdc_replay_final_state": q_cdc_replay_final_state,
@@ -1675,6 +1694,28 @@ def oracle_sql() -> dict[str, str]:
             FROM allv a JOIN allv b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE {_sql_cos("a.embedding", "b.embedding")} >= 0.9
+        """,
+        "embedding_near_dup_banded": f"""
+            WITH allv AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding
+                FROM embeddings WHERE vec_id % 10 = 0),
+            keyed AS (SELECT vec_id, {_sql_lsh_bucket("embedding", 16)} AS k
+                      FROM allv),
+            banded AS (SELECT vec_id, bi, substr(k, bi::INT * 4 + 1, 4) AS bv
+                       FROM keyed, unnest(range(4)) AS t(bi)),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM banded a JOIN banded b
+                       ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM (SELECT id_a, id_b,
+                         {_sql_cos("va.embedding", "vb.embedding")} AS cos
+                  FROM cand
+                  JOIN allv va ON va.vec_id = cand.id_a
+                  JOIN allv vb ON vb.vec_id = cand.id_b)
+            WHERE cos >= 0.9
         """,
         "lsh_bucket_keys": f"""
             SELECT vec_id, {_sql_lsh_bucket("embedding", 8)} AS bucket

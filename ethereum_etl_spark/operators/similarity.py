@@ -245,10 +245,20 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_bits_for_corpus(n_rows: int, target_bucket: int = 1024) -> int:
+    """Sizing rule for sign-LSH sketch width: enough bits that the expected
+    bucket holds ~``target_bucket`` vectors — the within-bucket pairwise
+    join is O(n·target_bucket), never O(n²/2^bits) with a fixed small
+    ``bits``. 10^10 rows at target 1024 → 24 bits."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2))))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    bits: int = 6,
+    bits: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
@@ -256,6 +266,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
     bucket by sign-LSH (or a metadata block), pairwise cosine within bucket.
+
+    ``bits`` must grow with the corpus (see ``lsh_bits_for_corpus``): a
+    fixed small sketch makes the within-bucket join quadratic. A single
+    wide key also *loses recall* (near-dups must agree on every bit) — at
+    scale prefer ``embedding_near_dup_pairs_banded``, which ORs several
+    shorter keys exactly like the MinHash band scheme.
     """
     base = embeddings.select(
         F.col(id_col).alias("id"),
@@ -271,5 +287,69 @@ def embedding_near_dup_pairs(
             F.col("b.id").alias("id_b"),
             score_fn(F.col("a.vec"), F.col("b.vec")).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> DataFrame:
+    """Banded embedding near-dup — the at-scale variant: a
+    ``bands*bits_per_band``-bit sign sketch split into ``bands`` shorter
+    keys; candidates are pairs agreeing on ANY band (union of ``bands``
+    equi-joins via one posexplode), deduped before the exact-cosine verify.
+
+    Exactly the MinHash band trade: per-band keys are short (high recall —
+    a near-dup pair only needs one band of sign agreement), while the
+    AND-within-band keeps buckets small (collision rate per band
+    ~n²/2^bits_per_band, spread across 2^bits_per_band buckets of a slim
+    (id, band) table). Candidate generation never materializes all-pairs,
+    and the vector payloads only travel in the final verify join.
+    """
+    score_fn = score_fn or _default_score
+    total_bits = bands * bits_per_band
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_key(F.col(vec_col), total_bits).alias("_key"),
+    )
+    # barrier: project-collapse would inline the sketch (bands aggregates
+    # over the vector per bit) into each band substring below; the exchange
+    # pins one evaluation, shuffling only slim (id, key) extra bytes
+    keyed = base.select("id", "_key").repartition(F.col("id"))
+    banded = keyed.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("_key"), b * bits_per_band + 1, bits_per_band)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair agreeing on several bands is verified once
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", score_fn(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -18,7 +18,9 @@ from ethereum_etl_spark.operators.dedup import (
 from ethereum_etl_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_banded,
     ivf_topk,
+    lsh_bits_for_corpus,
     lsh_topk,
 )
 
@@ -159,6 +161,20 @@ def test_ivf_topk_recall_and_self_cell(spark, embeddings):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     # probing 3 of 10 cells: meaningful overlap with the exact result
     assert len(exact_set & approx_set) >= len(exact_set) * 0.2
+
+
+def test_embedding_near_dup_banded(spark, embeddings):
+    dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 700_000)
+    both = embeddings.limit(100).unionByName(dup)
+    pairs = embedding_near_dup_pairs_banded(
+        both, threshold=0.999999, bands=4, bits_per_band=4
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical vectors agree on every band — all planted pairs found
+    assert {(i, i + 700_000) for i in range(5)} <= found
+    # sizing rule: buckets of ~1k at 10^10 rows needs ~24 bits
+    assert lsh_bits_for_corpus(10_000_000_000, 1024) == 24
+    assert lsh_bits_for_corpus(100, 1024) == 4
 
 
 def test_embedding_near_dup_with_block(spark, embeddings):
