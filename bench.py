@@ -106,6 +106,23 @@ def main() -> None:
     mor_read_sec = time.time() - t0
     assert mor_rows == n_rows
 
+    # ---- salted merge-apply (north rule): few-bucket regime, where the
+    # winner sort's parallelism is capped at n_buckets unless key-salted.
+    # The datagen's repo churn is heavily skewed by construction (repo 0
+    # carries ~17% of all changes), so this also exercises hot-repo load;
+    # same input, same final state, 8 vs 8x8 sort partitions.
+    half = n_rows // 2
+    t0 = time.time()
+    plain_t = MergeTable(spark, tempfile.mkdtemp(prefix="bench_plain_"), n_buckets=8)
+    replay_range(spark, log_dir, plain_t, 0, half - 1, partition_size=None)
+    salt_off_sec = time.time() - t0
+    t0 = time.time()
+    salted_t = MergeTable(
+        spark, tempfile.mkdtemp(prefix="bench_salted_"), n_buckets=8, merge_salts=8
+    )
+    replay_range(spark, log_dir, salted_t, 0, half - 1, partition_size=None)
+    salt_on_sec = time.time() - t0
+
     # ---- query timings at the SF dir ----
     # soft budget: the sandbox host throttles unpredictably (see BASELINE.md);
     # if the run is badly over budget, skip remaining queries rather than
@@ -151,6 +168,13 @@ def main() -> None:
             "mor_merge_latency_avg_sec": round(mor_latency, 3),
             "mor_events_per_sec": round(n_rows / mor_sec, 1),
             "mor_resolved_read_sec": round(mor_read_sec, 3),
+            "salted_merge_demo": {
+                "events": half,
+                "n_buckets": 8,
+                "salt_off_sec": round(salt_off_sec, 3),
+                "salt_on_sec": round(salt_on_sec, 3),
+                "merge_salts": 8,
+            },
         },
         "cpus": cpus,
         "skipped_queries": skipped,

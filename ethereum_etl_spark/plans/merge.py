@@ -99,6 +99,7 @@ class MergeTable:
         n_buckets: int = 32,
         mode: str = "cow",
         compact_threshold: int = 8,
+        merge_salts: int = 1,
     ):
         """``mode``:
 
@@ -110,9 +111,20 @@ class MergeTable:
           buckets holding more than ``compact_threshold`` files are
           compacted inside the next merge's commit. Best for micro-batch
           streaming where merge-apply latency is the headline metric.
+
+        ``merge_salts``: sub-partition count for the merge-apply window (the
+        north rule's salted repartitioning before merge-apply). The winner
+        sort's parallelism is otherwise capped at ``n_buckets`` — at 100 TB
+        with 32 buckets that is ~3 TB per sort partition. The salt is a
+        *key-determined* hash (all rows of a merge key share a salt), so the
+        per-key window stays correct while the sort fans out to
+        ``n_buckets * merge_salts`` partitions. Sizing rule: buckets*salts ≈
+        cluster cores * k. Default 1 = off.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(mode)
+        if merge_salts < 1:
+            raise ValueError("merge_salts must be >= 1")
         self.spark = spark
         self.root = root
         self.merge_keys = list(merge_keys)
@@ -120,6 +132,7 @@ class MergeTable:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_threshold = compact_threshold
+        self.merge_salts = merge_salts
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -160,13 +173,27 @@ class MergeTable:
     def _bucket_expr(self, df: DataFrame):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.merge_keys]), F.lit(self.n_buckets))
 
+    def _salt_expr(self):
+        """Key-determined sub-partition salt: a second, independent hash of
+        the merge key (seeded so it does not correlate with the bucket
+        hash), pmod merge_salts — every row of a key maps to one salt."""
+        return F.pmod(
+            F.xxhash64(F.lit("__merge_salt"), *[F.col(k) for k in self.merge_keys]),
+            F.lit(self.merge_salts),
+        )
+
     def _resolve_winners(self, df: DataFrame, extra_order=()) -> DataFrame:
         """Latest row per merge key in ONE bucket-partitioned sort (see
         merge() §2): order by (keys, order_col desc, __snap desc, extras),
-        keep the first row of every key run."""
+        keep the first row of every key run. With merge_salts > 1 the
+        exchange/sort partitioning is (bucket, key-salt) — same correctness
+        (keys never straddle salts), n_buckets*merge_salts-way parallel."""
         snap_ord = F.coalesce(F.col(_SNAP_COL), F.lit(-1)).desc()
         key_struct = F.struct(*[F.col(k) for k in self.merge_keys])
-        w = Window.partitionBy(_BUCKET_COL).orderBy(
+        parts = [F.col(_BUCKET_COL)]
+        if self.merge_salts > 1:
+            parts.append(self._salt_expr())
+        w = Window.partitionBy(*parts).orderBy(
             *self.merge_keys, F.col(self.order_col).desc(), snap_ord, *extra_order
         )
         prev_key = F.lag(key_struct).over(w)
@@ -338,6 +365,7 @@ class MergeTable:
             "merge_keys": self.merge_keys,
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
+            "merge_salts": self.merge_salts,
         }
         self._commit(snapshot)
 

@@ -45,3 +45,24 @@ def test_mor_equals_cow_and_compacts(spark, tmp_path):
     # latest_state over the resolved view
     ls = mor.latest_state(keys=("repo", "path"))
     assert ls.count() == mor.read().select("repo", "path").distinct().count()
+
+
+def test_salted_merge_equals_unsalted(spark, tmp_path):
+    """merge_salts sub-partitions the winner sort (parallelism beyond
+    n_buckets) without changing any result — keys never straddle salts."""
+    changes = generate_repo_changes(spark, 2000, seed=33, partitions=4)
+    plain = MergeTable(spark, str(tmp_path / "p"), n_buckets=4)
+    salted = MergeTable(spark, str(tmp_path / "s"), n_buckets=4, merge_salts=4)
+    mor_salted = MergeTable(
+        spark, str(tmp_path / "ms"), n_buckets=4, mode="mor",
+        compact_threshold=2, merge_salts=4,
+    )
+    # overlapping ranges exercise resolve-vs-existing under the salt
+    for i, (s, e) in enumerate([(0, 999), (500, 1499), (1000, 1999)]):
+        b = normalize_changes(changes.filter((F.col("seq") >= s) & (F.col("seq") <= e)))
+        plain.merge(b, f"b{i}")
+        salted.merge(b, f"b{i}")
+        mor_salted.merge(b, f"b{i}")
+    assert _state(salted) == _state(plain)
+    assert _state(mor_salted) == _state(plain)
+    assert salted.current_snapshot()["merge_salts"] == 4
