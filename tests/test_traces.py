@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_spark.operators.traces import (
     flatten_geth_traces,
+    flatten_geth_traces_relational,
     genesis_traces,
     route_trace_fields,
 )
@@ -46,6 +47,31 @@ def test_flatten_paths_and_fields(spark):
     assert rows["1"]["error"] == "out of gas" and rows["1"]["subtraces"] == 1
     assert rows["1,0"]["trace_type"] == "create" and rows["1,0"]["depth"] == 2
     assert all(r["block_number"] == 7 for r in rows.values())
+
+
+def test_relational_flatten_matches_kernel(spark):
+    """The pure-JVM level-explode variant produces row-identical output to
+    the mapInPandas kernel (incl. dropped null/malformed traces, empty-type
+    default, deep paths)."""
+    deep = {"type": "", "from": "0xR"}  # falsy type -> 'call'
+    node = deep
+    for d in range(6):  # 6-deep chain exercises the level loop
+        child = {"type": "DELEGATECALL", "from": f"0x{d}", "calls": []}
+        node["calls"] = [child, {"type": "CALL", "to": f"0xs{d}"}]
+        node = child
+    df = spark.createDataFrame(
+        [
+            (7, "0xtx1", json.dumps(TREE)),
+            (8, "0xtx2", None),
+            (9, "0xtx3", "not json at all"),
+            (10, "0xtx4", json.dumps(deep)),
+        ],
+        "block_number long, transaction_hash string, trace_json string",
+    )
+    a = sorted(tuple(r) for r in flatten_geth_traces(df).collect())
+    b = sorted(tuple(r) for r in flatten_geth_traces_relational(df).collect())
+    assert a == b
+    assert len(a) == 4 + 13  # TREE frames + chain frames
 
 
 def test_route_and_status(spark):
