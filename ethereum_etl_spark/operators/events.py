@@ -13,9 +13,12 @@ a list of column expressions — one ``select`` per event type, fully
 codegen'd. Dynamic schema (SURVEY.md §1.3): each ABI yields its own typed
 columns additively; unknown ABIs can fall back to a map column.
 
-An ``event_topic0`` here is any driver-computed constant (the reference uses
-keccak of the signature, eth_event_service.py:6-12; keccak isn't available
-in-sandbox and is irrelevant to the dataflow — any injective constant works).
+``topic0`` is the REAL keccak-256 event-signature topic (the reference
+precomputes it driver-side the same way, services/eth_event_service.py:6-12),
+via the pure-Python Keccak in functions/keccak.py — decoded topics match
+on-chain constants (e.g. Transfer = 0xddf252ad…). A sha256 stand-in remains
+as ``topic0_sha256`` (any injective driver constant preserves the dataflow;
+it was round 1's default and stays tested).
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ethereum_etl_spark.functions.hex import hex_to_dec_native, split_to_words, word_to_address
+from ethereum_etl_spark.functions.keccak import event_topic0
 
 
 @dataclass(frozen=True)
@@ -49,7 +53,12 @@ class EventAbi:
 
     @property
     def topic0(self) -> str:
-        """Deterministic event-signature topic (keccak stand-in: sha256)."""
+        """keccak-256 event-signature topic — on-chain-identical."""
+        return event_topic0(self.signature)
+
+    @property
+    def topic0_sha256(self) -> str:
+        """Injective sha256 stand-in (legacy/fallback; same dataflow)."""
         return "0x" + hashlib.sha256(self.signature.encode()).hexdigest()
 
     def params_in_order(self) -> list[AbiInput]:
