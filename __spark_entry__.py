@@ -71,7 +71,9 @@ from ethereum_etl_spark.operators.traces import flatten_geth_traces
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
 from ethereum_etl_spark.plans.entities import (
     export_blocks,
+    export_contracts,
     export_tokens,
+    export_traces,
     export_transactions,
 )
 from ethereum_etl_spark.plans.knowledge_graph import (
@@ -704,25 +706,70 @@ def q_trace_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _synth_trace_json(eid).alias("trace_json"),
     )
-    return flatten_geth_traces(traces)
+    return flatten_geth_traces(traces).select(
+        "block_number", "transaction_hash", "trace_address", "depth",
+        "subtraces", "trace_type", "from_address", "to_address",
+        "value_hex", "gas_hex", "error",
+    )
+
+
+def _synth_contract_bytecode() -> F.Column:
+    b0 = "0x" + "".join("63" + s[2:] for s in ERC20_REQUIRED) + "00" + "63deadbeef"
+    b1 = "0x" + "63" + "6352211e" + "63" + "70a08231" + "00"
+    b2 = "0x" + "63" + "a9059cbb"
+    m = F.col("p_partkey") % 4
+    return (
+        F.when(m == 0, F.lit(b0)).when(m == 1, F.lit(b1)).when(m == 2, F.lit(b2)).otherwise(F.lit("0x"))
+    )
 
 
 def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     part = _t(spark, sf_dir, "part")
-    b0 = "0x" + "".join("63" + s[2:] for s in ERC20_REQUIRED) + "00" + "63deadbeef"
-    b1 = "0x" + "63" + "6352211e" + "63" + "70a08231" + "00"
-    b2 = "0x" + "63" + "a9059cbb"
-    m = F.col("p_partkey") % 4
-    bytecode = (
-        F.when(m == 0, F.lit(b0)).when(m == 1, F.lit(b1)).when(m == 2, F.lit(b2)).otherwise(F.lit("0x"))
-    )
-    df = part.select("p_partkey", bytecode.alias("bytecode"))
+    df = part.select("p_partkey", _synth_contract_bytecode().alias("bytecode"))
     return classify_contracts(df).select(
         "p_partkey",
         F.concat_ws(",", F.col("function_sighashes")).alias("sighashes_csv"),
         "is_erc20",
         "is_erc721",
+    )
+
+
+def q_export_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim trace exporter surface (traces_item_exporter.py field list)
+    over the flattened synthetic call trees: call-family folding into
+    (trace_type='call', call_type=opcode), exact-decimal value."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    traces = ev.select(
+        (eid / 10).cast("long").alias("block_number"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx:"), eid.cast("string")))).alias(
+            "transaction_hash"
+        ),
+        _synth_trace_json(eid).alias("trace_json"),
+    )
+    out = export_traces(flatten_geth_traces(traces))
+    return out.select(
+        *[c for c in out.columns if c != "value"],
+        F.col("value").cast("string").alias("value"),
+    )
+
+
+def q_export_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim contract exporter surface (contracts_item_exporter.py field
+    list): lowercased address, bytecode, sighashes, ERC flags."""
+    _utc(spark)
+    part = _t(spark, sf_dir, "part")
+    raw = part.select(
+        F.upper(F.concat(F.lit("0x"), _a40("contract:", F.col("p_partkey")))).alias("address"),
+        _synth_contract_bytecode().alias("bytecode"),
+        (F.col("p_partkey") * 10).alias("block_number"),
+    )
+    out = export_contracts(classify_contracts(raw))
+    return out.select(
+        *[c for c in out.columns if c != "function_sighashes"],
+        F.concat_ws(",", F.col("function_sighashes")).alias("function_sighashes"),
     )
 
 
@@ -1193,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_blocks": q_export_blocks,
         "export_transactions": q_export_transactions,
         "export_tokens": q_export_tokens,
+        "export_traces": q_export_traces,
+        "export_contracts": q_export_contracts,
         "lending_positions": q_lending_positions,
         "token_metadata_enrich": q_token_metadata_enrich,
         "wallet_balance_fold": q_wallet_balance_fold,
@@ -1481,6 +1530,58 @@ def oracle_sql() -> dict[str, str]:
                    tid * 100 AS block_number,
                    '0x' || substr(md5('ts:' || CAST(tid AS VARCHAR)), 1, 24) AS total_supply_hex
             FROM t
+        """,
+        "export_traces": f"""
+            WITH base AS (
+                SELECT event_id, (event_id // 10)::BIGINT AS block_number,
+                       '0x' || md5('tx:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+                       '0xf' || CAST(event_id AS VARCHAR) AS rf,
+                       '0xt' || CAST(event_id AS VARCHAR) AS rt,
+                       substr(md5('v:' || CAST(event_id AS VARCHAR)), 1, 8) AS vhex8,
+                       (event_id % 3)::INT AS k, (event_id % 2)::INT AS j
+                FROM events)
+            SELECT block_number, transaction_hash,
+                   NULL::BIGINT AS transaction_index,
+                   rf AS from_address, rt AS to_address,
+                   NULL::VARCHAR AS input, NULL::VARCHAR AS output,
+                   'call' AS trace_type, 'call' AS call_type,
+                   NULL::VARCHAR AS reward_type,
+                   NULL::BIGINT AS gas, NULL::BIGINT AS gas_used,
+                   k AS subtraces, '' AS trace_address,
+                   NULL::VARCHAR AS error, NULL::INT AS status,
+                   NULL::VARCHAR AS trace_id,
+                   CAST({_sql_hex_to_hugeint("vhex8", 8)} AS VARCHAR) AS value
+            FROM base
+            UNION ALL
+            SELECT block_number, transaction_hash, NULL, rt,
+                   '0xc' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+                   NULL, NULL, 'call', 'call', NULL, NULL, NULL,
+                   j, CAST(i AS VARCHAR), NULL, NULL, NULL, NULL
+            FROM base, unnest(range(k)) AS t(i)
+            UNION ALL
+            SELECT block_number, transaction_hash, NULL,
+                   '0xc' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+                   '0xg' || CAST(event_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_0',
+                   NULL, NULL, 'call', 'staticcall', NULL, NULL, NULL,
+                   0::INT, CAST(i AS VARCHAR) || ',0', NULL, NULL, NULL, NULL
+            FROM base, unnest(range(k)) AS t(i)
+            WHERE j = 1
+        """,
+        "export_contracts": f"""
+            SELECT '0x' || {_sql_a40("contract:", "p_partkey")} AS address,
+                   CASE p_partkey % 4
+                        WHEN 0 THEN '0x{"".join("63" + s[2:] for s in sorted(ERC20_REQUIRED))}0063deadbeef'
+                        WHEN 1 THEN '0x636352211e6370a0823100'
+                        WHEN 2 THEN '0x63a9059cbb'
+                        ELSE '0x' END AS bytecode,
+                   CASE p_partkey % 4 WHEN 0 THEN '{erc20_csv}'
+                                      WHEN 1 THEN '0x6352211e,0x70a08231'
+                                      WHEN 2 THEN '0xa9059cbb'
+                                      ELSE '' END AS function_sighashes,
+                   p_partkey % 4 = 0 AS is_erc20,
+                   p_partkey % 4 = 1 AS is_erc721,
+                   p_partkey * 10 AS block_number
+            FROM part
         """,
         "lending_positions": f"""
             WITH base AS (

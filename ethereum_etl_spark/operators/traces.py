@@ -26,14 +26,15 @@ from pyspark.sql import functions as F
 TRACE_SCHEMA = (
     "block_number BIGINT, transaction_hash STRING, trace_address STRING, "
     "depth INT, subtraces INT, trace_type STRING, from_address STRING, "
-    "to_address STRING, value_hex STRING, gas_hex STRING, error STRING"
+    "to_address STRING, value_hex STRING, gas_hex STRING, error STRING, "
+    "input STRING, output STRING, gas_used_hex STRING"
 )
 
 
 _FRAME_COLS = [
     "block_number", "transaction_hash", "trace_address", "depth",
     "subtraces", "trace_type", "from_address", "to_address",
-    "value_hex", "gas_hex", "error",
+    "value_hex", "gas_hex", "error", "input", "output", "gas_used_hex",
 ]
 
 
@@ -56,6 +57,9 @@ def _walk_iter(root: dict, cols: list[list], block_number, tx_hash) -> None:
         cols[8].append(node.get("value"))
         cols[9].append(node.get("gas"))
         cols[10].append(node.get("error"))
+        cols[11].append(node.get("input"))
+        cols[12].append(node.get("output"))
+        cols[13].append(node.get("gasUsed"))
         for i in range(len(calls) - 1, -1, -1):  # reversed → preorder pop
             stack.append(
                 (calls[i], f"{path},{i}" if path else str(i), depth + 1)
@@ -91,7 +95,8 @@ def flatten_geth_traces(
 
 _FRAME_DDL = (
     "type STRING, `from` STRING, `to` STRING, value STRING, gas STRING, "
-    "error STRING, calls ARRAY<STRING>, _corrupt STRING"
+    "error STRING, input STRING, output STRING, gasUsed STRING, "
+    "calls ARRAY<STRING>, _corrupt STRING"
 )
 
 
@@ -157,6 +162,9 @@ def flatten_geth_traces_relational(
                 p["value"].alias("value_hex"),
                 p["gas"].alias("gas_hex"),
                 p["error"].alias("error"),
+                p["input"].alias("input"),
+                p["output"].alias("output"),
+                p["gasUsed"].alias("gas_used_hex"),
             )
             out = rows if out is None else out.unionByName(rows)
             frontier = (
@@ -222,7 +230,8 @@ def genesis_traces(spark: SparkSession, allocs: list[tuple[str, str]]) -> DataFr
     """Synthetic genesis reward rows (trace_mapper.py:97-111): one reward
     trace per genesis allocation (address, value_hex) at block 0."""
     rows = [
-        (0, None, "", 0, 0, "genesis", None, addr.lower(), value_hex, None, None)
+        (0, None, "", 0, 0, "genesis", None, addr.lower(), value_hex, None,
+         None, None, None, None)
         for addr, value_hex in allocs
     ]
     return spark.createDataFrame(rows, TRACE_SCHEMA)

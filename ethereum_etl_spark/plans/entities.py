@@ -168,6 +168,75 @@ def export_tokens(raw_tokens: DataFrame) -> DataFrame:
     )
 
 
+TRACE_EXPORT_FIELDS = [
+    "block_number", "transaction_hash", "transaction_index", "from_address",
+    "to_address", "value", "input", "output", "trace_type", "call_type",
+    "reward_type", "gas", "gas_used", "subtraces", "trace_address", "error",
+    "status", "trace_id",
+]
+
+CONTRACT_FIELDS = [
+    "address", "bytecode", "function_sighashes", "is_erc20", "is_erc721",
+    "block_number",
+]
+
+
+def export_traces(flat: DataFrame) -> DataFrame:
+    """Flattened call frames -> the reference's trace export
+    (traces_item_exporter.py FIELDS_TO_EXPORT; mapper semantics at
+    trace_mapper.py:127-192): selfdestruct renamed to suicide, the call
+    family (call/callcode/delegatecall/staticcall) folds into
+    trace_type='call' with call_type carrying the specific opcode; value is
+    exact-decimal, gas fields 64-bit; status is set only by the synthetic
+    genesis/daofork constructors (:107,:123 — tx frames export NULL, like
+    the reference fork, which has no status calculator); trace_id likewise
+    NULL (domain/trace.py:43)."""
+    t = F.col("trace_type")
+    call_family = t.isin("call", "callcode", "delegatecall", "staticcall")
+    tx_index = (
+        F.col("transaction_index")
+        if "transaction_index" in flat.columns
+        else F.lit(None).cast("long")
+    )
+    return flat.select(
+        F.col("block_number"),
+        F.col("transaction_hash"),
+        tx_index.alias("transaction_index"),
+        F.col("from_address"),
+        F.col("to_address"),
+        hex_to_dec_native(F.col("value_hex")).alias("value"),
+        F.col("input"),
+        F.col("output"),
+        F.when(t == "selfdestruct", F.lit("suicide"))
+        .when(call_family, F.lit("call"))
+        .otherwise(t)
+        .alias("trace_type"),
+        F.when(call_family, t).alias("call_type"),
+        F.lit(None).cast("string").alias("reward_type"),
+        hex_to_dec_long(F.col("gas_hex")).alias("gas"),
+        hex_to_dec_long(F.col("gas_used_hex")).alias("gas_used"),
+        F.col("subtraces"),
+        F.col("trace_address"),
+        F.col("error"),
+        F.when(t.isin("genesis", "daofork"), F.lit(1)).cast("int").alias("status"),
+        F.lit(None).cast("string").alias("trace_id"),
+    )
+
+
+def export_contracts(classified: DataFrame) -> DataFrame:
+    """Classified contracts -> the reference's contract export
+    (contracts_item_exporter.py FIELDS_TO_EXPORT; contract_mapper.py:33-41):
+    lowercase address, raw bytecode, sighash list, ERC flags."""
+    return classified.select(
+        normalize_address(F.col("address")).alias("address"),
+        F.col("bytecode"),
+        F.col("function_sighashes"),
+        F.col("is_erc20"),
+        F.col("is_erc721"),
+        F.col("block_number"),
+    )
+
+
 def native_transfers(transactions: DataFrame) -> DataFrame:
     """F5: plain value transfers — `input == '0x'`
     (export_blocks_job.py:162)."""

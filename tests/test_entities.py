@@ -127,3 +127,50 @@ def test_receipt_and_log_export_fields(spark):
     assert lout.columns == LOG_FIELDS
     lr = lout.first()
     assert lr["address"] == "0xab" and lr["topics"] == ["0xT0", "0xT1"]
+
+
+def test_export_traces_field_routing(spark):
+    """traces_item_exporter.py field list + trace_mapper.py:146-152 type
+    folding: selfdestruct->suicide, call family -> (call, call_type)."""
+    import json
+
+    from ethereum_etl_spark.operators.traces import flatten_geth_traces
+    from ethereum_etl_spark.plans.entities import TRACE_EXPORT_FIELDS, export_traces
+
+    tree = {
+        "type": "DELEGATECALL", "from": "0xA", "to": "0xB", "value": "0xff",
+        "gas": "0x100", "gasUsed": "0x80", "input": "0xdead", "output": "0xbeef",
+        "calls": [
+            {"type": "SELFDESTRUCT", "from": "0xB", "to": "0xC"},
+            {"type": "CREATE", "from": "0xB", "to": "0xD"},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(5, "0xtx", json.dumps(tree))],
+        "block_number long, transaction_hash string, trace_json string",
+    )
+    out = export_traces(flatten_geth_traces(df))
+    assert set(out.columns) == set(TRACE_EXPORT_FIELDS)
+    rows = {r["trace_address"]: r for r in out.collect()}
+    root = rows[""]
+    assert root["trace_type"] == "call" and root["call_type"] == "delegatecall"
+    assert root["value"] == 255 and root["gas"] == 256 and root["gas_used"] == 128
+    assert root["input"] == "0xdead" and root["output"] == "0xbeef"
+    assert rows["0"]["trace_type"] == "suicide" and rows["0"]["call_type"] is None
+    assert rows["1"]["trace_type"] == "create"
+    assert all(r["status"] is None and r["trace_id"] is None for r in rows.values())
+
+
+def test_export_contracts_fields(spark):
+    from ethereum_etl_spark.operators.contracts import classify_contracts
+    from ethereum_etl_spark.plans.entities import CONTRACT_FIELDS, export_contracts
+
+    raw = spark.createDataFrame(
+        [("0xAbC", "0x" + "63" + "18160ddd" + "63" + "70a08231" + "63" + "a9059cbb", 7)],
+        "address string, bytecode string, block_number long",
+    )
+    out = export_contracts(classify_contracts(raw))
+    assert out.columns == CONTRACT_FIELDS
+    r = out.first()
+    assert r["address"] == "0xabc" and r["is_erc20"] and not r["is_erc721"]
+    assert "0x18160ddd" in r["function_sighashes"]
