@@ -16,6 +16,11 @@ Rebuild of the reference's Streamer (blockchainetl/streaming/streamer.py:
 - **Checkpoint conflict rule** (T2): passing ``start_seq`` when a checkpoint
   already exists is a hard error, exactly like ``--start-block`` vs
   last_synced_block.txt (streamer.py:55-58).
+- **Graceful stop** (T6): ``request_stop()`` (wire it to SIGTERM in a real
+  deployment, like the reference's graceful shutdown) lets the in-flight
+  cycle finish — merge commit then checkpoint — and exits at the next loop
+  boundary. The table is never left between commit and checkpoint except in
+  the idempotent-re-merge crash window.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ class Streamer:
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.poll_seconds = poll_seconds
+        self._stop_requested = False
         os.makedirs(checkpoint_dir, exist_ok=True)
         ckpt = self._checkpoint_path()
         if start_seq is not None and os.path.exists(ckpt):
@@ -92,10 +98,16 @@ class Streamer:
         self._write_last_synced(end)
         return metrics
 
+    def request_stop(self) -> None:
+        """Graceful stop (T6): the current cycle completes (merge +
+        checkpoint), then the loop exits. Safe from any thread / a signal
+        handler — it only flips a flag read at loop boundaries."""
+        self._stop_requested = True
+
     def run_until_head(self, max_cycles: int | None = None) -> list[MergeMetrics]:
         """Drain everything currently visible (availableNow trigger analog)."""
         out: list[MergeMetrics] = []
-        while max_cycles is None or len(out) < max_cycles:
+        while (max_cycles is None or len(out) < max_cycles) and not self._stop_requested:
             m = self.run_cycle()
             if m is None:
                 break
@@ -104,11 +116,11 @@ class Streamer:
 
     def stream(self, max_seconds: float, end_seq: int | None = None) -> list[MergeMetrics]:
         """Tail loop: drain, then sleep ``poll_seconds`` when idle
-        (streamer.py:73-87). Stops after ``max_seconds`` or once
-        ``end_seq`` is synced."""
+        (streamer.py:73-87). Stops after ``max_seconds``, once
+        ``end_seq`` is synced, or when a graceful stop is requested."""
         deadline = time.time() + max_seconds
         out: list[MergeMetrics] = []
-        while time.time() < deadline:
+        while time.time() < deadline and not self._stop_requested:
             m = self.run_cycle()
             if m is not None:
                 out.append(m)

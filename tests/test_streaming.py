@@ -77,3 +77,38 @@ def test_start_seq_conflicts_with_checkpoint(spark, log_path, tmp_path):
         Streamer(spark, TailSource(spark, log_path), tbl, ck, start_seq=0)
     # start_seq honored: only seqs >= 500 were ingested
     assert tbl.read().agg(F.min("seq")).first()[0] == 500
+
+
+def test_graceful_stop_finishes_cycle_and_resumes(spark, log_path, tmp_path):
+    """T6: request_stop lets the in-flight cycle commit (merge + checkpoint)
+    and exits at the loop boundary; a fresh Streamer resumes cleanly."""
+    import threading
+
+    tbl = MergeTable(spark, str(tmp_path / "t6"))
+    src = TailSource(spark, log_path, batch_size=200)
+    s = Streamer(spark, src, tbl, str(tmp_path / "ck6"), poll_seconds=0.05)
+
+    done: list = []
+    t = threading.Thread(target=lambda: done.append(s.stream(max_seconds=60)))
+    t.start()
+    # wait for at least one committed cycle, then stop gracefully
+    import time as _time
+
+    deadline = _time.time() + 50
+    while s.last_synced() < 0 and _time.time() < deadline:
+        _time.sleep(0.05)
+    s.request_stop()
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    synced = s.last_synced()
+    # stopped at a cycle boundary: checkpoint covers whole batches only,
+    # and the table holds exactly the checkpointed rows (no partial cycle)
+    assert synced >= 199 and (synced + 1) % 200 == 0
+    assert tbl.read().count() == synced + 1
+
+    # resume drains the remainder exactly once
+    s2 = Streamer(spark, src, tbl, str(tmp_path / "ck6"))
+    s2.run_until_head()
+    assert s2.last_synced() == N - 1
+    assert tbl.read().count() == N
