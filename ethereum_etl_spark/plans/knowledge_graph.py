@@ -84,6 +84,14 @@ class CycleResult:
         return {k: m.rows_in for k, m in self.metrics.items()}
 
 
+def is_log_filter_supported(provider_uri: str) -> bool:
+    """F8 capability flag (export_knowledge_graph_needed_common.py:47-48):
+    some providers cannot serve server-side log filters; the reference skips
+    the transfer job for them ('infura' not in uri). Kept verbatim so a
+    reference user's gating behaves identically."""
+    return "infura" not in provider_uri
+
+
 def export_knowledge_graph(
     raw_blocks: DataFrame,
     raw_logs: DataFrame,
@@ -91,12 +99,18 @@ def export_knowledge_graph(
     abis: list[EventAbi] | None = None,
     token_filter: list[str] | None = None,
     batch_id: str = "klg",
+    log_filter_supported: bool = True,
 ) -> CycleResult:
     """One export cycle over a range's raw blocks + logs.
 
     The reference runs four sequential jobs re-fetching overlapping data;
     here each entity is a derivation of the same two scans and merges are
     the only actions.
+
+    ``log_filter_supported=False`` (F8, see ``is_log_filter_supported``)
+    skips the transfer extraction and the wallet accumulate that depends on
+    it — exactly the reference's capability gate around
+    ExportTokenTransfersJob (:109).
     """
     out = CycleResult()
 
@@ -106,12 +120,14 @@ def export_knowledge_graph(
     txs = export_transactions(raw_blocks)
     out.metrics["transactions"] = tables.transactions.merge(txs, f"{batch_id}-txs")
 
-    transfers = extract_token_transfers(raw_logs, token_filter=token_filter)
-    tf_typed = transfers.withColumn("value", F.col("value").cast("decimal(38,0)"))
-    out.metrics["token_transfers"] = tables.token_transfers.merge(
-        tf_typed.withColumn("value", F.col("value").cast("string")),
-        f"{batch_id}-transfers",
-    )
+    tf_typed = None
+    if log_filter_supported:
+        transfers = extract_token_transfers(raw_logs, token_filter=token_filter)
+        tf_typed = transfers.withColumn("value", F.col("value").cast("decimal(38,0)"))
+        out.metrics["token_transfers"] = tables.token_transfers.merge(
+            tf_typed.withColumn("value", F.col("value").cast("string")),
+            f"{batch_id}-transfers",
+        )
 
     if abis:
         decoded = None
@@ -127,6 +143,8 @@ def export_knowledge_graph(
     # (knowledge_graph_exporter.py:99-143) as join + add + idempotent merge.
     # Crash-replay safety: re-merging the same batch_id is a no-op, so the
     # addition can never double-count (exactly-once effective).
+    if tf_typed is None:  # F8: no transfers -> no wallet deltas this cycle
+        return out
     totals = fold_batch_totals(transfers_to_deltas(tf_typed)).select(
         "address",
         "token_address",

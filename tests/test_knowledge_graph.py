@@ -102,3 +102,29 @@ def test_two_cycles_accumulate_and_replay_noop(spark, tmp_path):
     view = {r["address"]: r for r in wallet_map_view(tables).collect()}
     assert view[to]["balance"] == {"0xt0ken": "300"}
     assert view[to]["at_block_number"] == 2
+
+
+def test_capability_flag_skips_transfer_path(spark, tmp_path):
+    """F8: log_filter_supported=False skips transfer extraction and the
+    wallet accumulate — blocks/txs still export (reference gate around
+    ExportTokenTransfersJob, export_knowledge_graph_needed_common.py:109)."""
+    from ethereum_etl_spark.plans.knowledge_graph import is_log_filter_supported
+
+    assert is_log_filter_supported("http://archive-node:8545")
+    assert not is_log_filter_supported("https://mainnet.infura.io/v3/k")
+
+    blocks = spark.createDataFrame([_raw_block(1, [_tx(0)])], RAW_SCHEMA)
+    logs = spark.createDataFrame(
+        [_transfer_log(0, 1, "aa" * 20, "bb" * 20, "5")], LOG_SCHEMA
+    )
+    tables = KnowledgeGraphTables.create(spark, str(tmp_path / "klg"), n_buckets=2)
+    out = export_knowledge_graph(
+        blocks, logs, tables, batch_id="gated", log_filter_supported=False
+    )
+    assert "blocks" in out.metrics and "transactions" in out.metrics
+    assert "token_transfers" not in out.metrics and "wallets" not in out.metrics
+    assert tables.wallets.current_snapshot() is None
+    # with the capability present, the same cycle produces transfers+wallets
+    out2 = export_knowledge_graph(blocks, logs, tables, batch_id="full")
+    assert out2.metrics["token_transfers"].rows_in == 1
+    assert wallet_map_view(tables).count() == 2
