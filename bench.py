@@ -46,9 +46,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
+    "dedup_simhash_hamming",
     "text_stats",
     "ann_topk_brute",
     "ann_topk_lsh",
+    "embedding_near_dup_banded",
+    "export_traces",
 ]
 
 # change-log rows per unit SF: sf0.1 -> 1,000,000 events

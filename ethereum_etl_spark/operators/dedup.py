@@ -352,11 +352,17 @@ def simhash_hamming_pairs(
     base = df.select(
         F.col(id_col).alias("id"), simhash_hex(F.col(text_col), bits).alias("fp")
     )
-    # barrier: project-collapse would otherwise inline the fingerprint
-    # aggregate into the band substrings below (re-evaluating it per band);
-    # the exchange pins one evaluation per row, and the shuffled rows are
-    # slim (id, 16-char fp) — negligible vs the fingerprint compute
-    base = base.repartition(F.col("id"))
+    # Materialize the slim (id, fp) table: (a) both sides of the self-join
+    # read ONE fingerprint computation instead of recomputing it per side,
+    # and (b) the read is a barrier against project-collapse inlining the
+    # fingerprint aggregate into each band substring (a measured per-band
+    # re-evaluation otherwise). At cluster scale this is the fingerprint
+    # table you would persist bucketed anyway.
+    import tempfile
+
+    fp_dir = tempfile.mkdtemp(prefix="simhash_fp_")
+    base.write.mode("overwrite").parquet(fp_dir)
+    base = df.sparkSession.read.parquet(fp_dir)
     banded = base.select(
         "id",
         "fp",

@@ -314,15 +314,18 @@ def embedding_near_dup_pairs_banded(
     """
     score_fn = score_fn or _default_score
     total_bits = bands * bits_per_band
-    base = embeddings.select(
+    # Materialize the slim (id, key) sketch table: both self-join sides read
+    # ONE sketch computation, and the read is a barrier against project-
+    # collapse inlining the per-bit aggregates into each band substring.
+    # At cluster scale this is the sketch table you would persist bucketed.
+    import tempfile
+
+    key_dir = tempfile.mkdtemp(prefix="lsh_sketch_")
+    embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         sign_lsh_key(F.col(vec_col), total_bits).alias("_key"),
-    )
-    # barrier: project-collapse would inline the sketch (bands aggregates
-    # over the vector per bit) into each band substring below; the exchange
-    # pins one evaluation, shuffling only slim (id, key) extra bytes
-    keyed = base.select("id", "_key").repartition(F.col("id"))
+    ).write.mode("overwrite").parquet(key_dir)
+    keyed = embeddings.sparkSession.read.parquet(key_dir)
     banded = keyed.select(
         "id",
         F.posexplode(

@@ -49,8 +49,12 @@ def child(cpus: int, log_dir: str) -> None:
         f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 2)
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # warm the JVM so the measurement is steady-state
-    spark.read.parquet(log_dir).limit(10_000).count()
+    # warm the FULL path (scan -> normalize codegen -> window -> parquet
+    # write/commit) with a small replay so the timed run is steady-state:
+    # JVM/JIT/codegen warmup is a constant adder that would otherwise be
+    # misread as an (anti-)scaling term at high core counts
+    warm = MergeTable(spark, tempfile.mkdtemp(prefix=f"warm_{cpus}_"), n_buckets=8)
+    replay_range(spark, log_dir, warm, 0, min(49_999, N_ROWS - 1), partition_size=None)
 
     root = tempfile.mkdtemp(prefix=f"scal_{cpus}_")
     table = MergeTable(spark, root, n_buckets=64)
