@@ -1084,16 +1084,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-scale near-dup variant: 4 bands x 4-bit sign-LSH keys, union
-    of band matches, dedup, exact-cosine verify."""
+    """The at-scale near-dup variant: 4 bands of sign-LSH keys, union of
+    band matches, dedup, exact-cosine verify. Band width follows the
+    corpus-sizing rule (lsh_bits_for_corpus): fixed-width keys make the
+    within-bucket join quadratic in corpus size. At the oracle's sf0.01
+    corpus (550 vectors) the rule picks 4-bit bands — the oracle SQL is
+    pinned to that."""
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
     planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + 10000
     )
     both = emb.unionByName(planted)
+    from ethereum_etl_spark.operators.similarity import lsh_bits_for_corpus
+
+    bpb = max(4, lsh_bits_for_corpus(both.count(), target_bucket=64))
     pairs = embedding_near_dup_pairs_banded(
-        both, threshold=0.9, bands=4, bits_per_band=4, score_fn=cosine_portable
+        both, threshold=0.9, bands=4, bits_per_band=bpb, score_fn=cosine_portable
     )
     return pairs.select(
         "id_a", "id_b", F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim")
