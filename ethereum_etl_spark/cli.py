@@ -34,7 +34,8 @@ from ethereum_etl_spark.streaming.stream import Streamer
 
 def _table(spark, args) -> MergeTable:
     return MergeTable(
-        spark, args.table, n_buckets=args.buckets, mode=getattr(args, "mode", "cow")
+        spark, args.table, n_buckets=args.buckets, mode=getattr(args, "mode", "cow"),
+        merge_salts=getattr(args, "merge_salts", 1),
     )
 
 
@@ -57,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partition-size", type=int, default=None)
     r.add_argument("--buckets", type=int, default=32)
     r.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    r.add_argument("--merge-salts", type=int, default=1,
+                   help="sub-partition the merge sort (buckets*salts ~ cores*k)")
 
     s = sub.add_parser("stream", help="tail the change log with checkpointed micro-batches")
     s.add_argument("--source", required=True)
@@ -69,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seconds", type=float, default=60.0)
     s.add_argument("--buckets", type=int, default=32)
     s.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    s.add_argument("--merge-salts", type=int, default=1,
+                   help="sub-partition the merge sort (buckets*salts ~ cores*k)")
 
     latest = sub.add_parser("latest-state", help="export the latest-commit-per-path view")
     latest.add_argument("--table", required=True)
