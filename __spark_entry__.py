@@ -594,6 +594,27 @@ def q_windowed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked event-time windowed rollup (streaming/windowed.py) on
+    its batch path — same definition serves tail and backfill (kappa); the
+    late-drop semantics are covered by tests/test_windowed_streaming.py."""
+    _utc(spark)
+    from ethereum_etl_spark.streaming.windowed import windowed_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_rollup(
+        ev, ts_col="ts", window_duration="5 minutes",
+        watermark_delay="10 minutes", keys=("event_type",), value_col="value",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.unix_timestamp("window_end").alias("we"),
+        "event_type",
+        "n",
+        _dstr(F.col("total")).alias("total"),
+    )
+
+
 def q_seq_range_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 analog: timestamp->seq-range index via min/max aggregation — the
     declarative replacement for the reference's interpolation search
@@ -1236,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_totals": q_salted_user_totals,
         "daily_rollup": q_daily_rollup,
         "windowed_event_rollup": q_windowed_event_rollup,
+        "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "seq_range_by_day": q_seq_range_by_day,
         "daily_checkpoint_gate": q_daily_checkpoint_gate,
         "event_type_cube": q_event_type_cube,
@@ -1409,6 +1431,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_windowed_rollup": f"""
+            SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS ws,
+                   CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 + 300 AS we,
+                   event_type, count(*)::BIGINT AS n,
+                   {_sql_dstr("SUM(CAST(value AS DECIMAL(18,2)))")} AS total
+            FROM events GROUP BY 1, 2, 3
         """,
         "seq_range_by_day": """
             SELECT CAST(ts AS DATE) AS day, min(event_id) AS min_seq,
