@@ -55,10 +55,12 @@ class Streamer:
         self._stop_requested = False
         os.makedirs(checkpoint_dir, exist_ok=True)
         ckpt = self._checkpoint_path()
-        if start_seq is not None and os.path.exists(ckpt):
+        legacy = os.path.join(checkpoint_dir, "last_synced_block.txt")
+        if start_seq is not None and (os.path.exists(ckpt) or os.path.exists(legacy)):
             raise ValueError(
-                f"start_seq={start_seq} conflicts with existing checkpoint {ckpt}; "
-                "delete it to force a restart (reference rule: streamer.py:55-58)"
+                f"start_seq={start_seq} conflicts with existing checkpoint in "
+                f"{checkpoint_dir}; delete it to force a restart "
+                "(reference rule: streamer.py:55-58)"
             )
         if start_seq is not None:
             self._write_last_synced(start_seq - 1)
@@ -71,6 +73,14 @@ class Streamer:
     def last_synced(self) -> int:
         p = self._checkpoint_path()
         if not os.path.exists(p):
+            # migration shim: accept the reference's checkpoint format
+            # verbatim (a bare integer in last_synced_block.txt,
+            # streamer.py:124-134) so a reference user switches over
+            # without re-syncing; the next advance upgrades it to JSON
+            legacy = os.path.join(self.checkpoint_dir, "last_synced_block.txt")
+            if os.path.exists(legacy):
+                with open(legacy) as f:
+                    return int(f.read().strip())
             return -1
         with open(p) as f:
             return int(json.load(f)["last_synced_seq"])

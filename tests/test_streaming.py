@@ -112,3 +112,25 @@ def test_graceful_stop_finishes_cycle_and_resumes(spark, log_path, tmp_path):
     s2.run_until_head()
     assert s2.last_synced() == N - 1
     assert tbl.read().count() == N
+
+
+def test_legacy_checkpoint_migration(spark, log_path, tmp_path):
+    """A reference user's last_synced_block.txt (bare int, streamer.py:
+    124-134) is honored as the starting checkpoint and upgraded to JSON on
+    the next advance; start_seq still hard-conflicts with it."""
+    ck = tmp_path / "legacy_ck"
+    ck.mkdir()
+    (ck / "last_synced_block.txt").write_text("499\n")
+
+    tbl = MergeTable(spark, str(tmp_path / "tl"))
+    src = TailSource(spark, log_path, batch_size=250)
+    s = Streamer(spark, src, tbl, str(ck))
+    assert s.last_synced() == 499  # resumed from the reference format
+    with pytest.raises(ValueError, match="conflicts"):
+        Streamer(spark, src, tbl, str(ck), start_seq=0)
+
+    s.run_until_head()
+    assert s.last_synced() == N - 1
+    # only rows after the legacy checkpoint were ingested
+    assert tbl.read().count() == N - 500
+    assert tbl.read().agg(F.min("seq")).first()[0] == 500
