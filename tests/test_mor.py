@@ -66,3 +66,20 @@ def test_salted_merge_equals_unsalted(spark, tmp_path):
     assert _state(salted) == _state(plain)
     assert _state(mor_salted) == _state(plain)
     assert salted.current_snapshot()["merge_salts"] == 4
+
+
+def test_empty_batch_merge_is_clean_commit(spark, tmp_path):
+    """An empty batch commits cleanly (batch_id recorded, zero rows, no
+    files), and the table state is untouched — the crash-retry path can
+    replay a drained range without side effects."""
+    changes = generate_repo_changes(spark, 100, seed=5, partitions=2)
+    t = MergeTable(spark, str(tmp_path / "e"), n_buckets=4)
+    t.merge(normalize_changes(changes), "b-full")
+    before = _state(t)
+    empty = normalize_changes(changes.filter(F.col("seq") < 0))
+    m = t.merge(empty, "b-empty")
+    assert m.rows_in == 0 and m.buckets_touched == 0 and not m.noop
+    assert "b-empty" in t.committed_batches()
+    assert _state(t) == before
+    # re-merge of the empty batch is the no-op idempotence path
+    assert t.merge(empty, "b-empty").noop
