@@ -756,6 +756,60 @@ def q_contract_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_receipts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 receipt projection (receipt_mapper.py:58-70) over synthetic
+    camelCase hex receipts, incl. NULL contract_address and status decode."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    e = eid.cast("string")
+    bn = (eid / 10).cast("long")
+    raw = ev.select(
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("txh:"), e))).alias("transactionHash"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("txi:"), e)), 1, 2)).alias("transactionIndex"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("blk:"), bn.cast("string")))).alias("blockHash"),
+        F.concat(F.lit("0x"), F.conv(bn.cast("string"), 10, 16)).alias("blockNumber"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("cgu:"), e)), 1, 6)).alias("cumulativeGasUsed"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("gu:"), e)), 1, 5)).alias("gasUsed"),
+        F.when(eid % 3 == 0, F.upper(F.concat(F.lit("0x"), _a40("ca:", eid)))).alias("contractAddress"),
+        F.lit(None).cast("string").alias("root"),
+        F.when(eid % 11 == 0, F.lit("0x0")).otherwise(F.lit("0x1")).alias("status"),
+    )
+    from ethereum_etl_spark.plans.entities import export_receipts
+
+    return export_receipts(raw)
+
+
+def q_export_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 log projection (receipt_log_mapper.py:30-42); the topics array is
+    rendered comma-joined exactly like the reference CSV sink."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    e = eid.cast("string")
+    bn = (eid / 10).cast("long")
+    raw = ev.select(
+        F.concat(F.lit("0x"), F.conv((eid % 1000).cast("string"), 10, 16)).alias("logIndex"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("txh:"), e))).alias("transactionHash"),
+        F.concat(F.lit("0x"), F.substring(F.md5(F.concat(F.lit("txi:"), e)), 1, 2)).alias("transactionIndex"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("blk:"), bn.cast("string")))).alias("blockHash"),
+        F.concat(F.lit("0x"), F.conv(bn.cast("string"), 10, 16)).alias("blockNumber"),
+        F.upper(F.concat(F.lit("0x"), _a40("la:", eid % 50))).alias("address"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("ld:"), e))).alias("data"),
+        F.array(
+            F.lit(TRANSFER_EVENT_TOPIC),
+            F.concat(F.lit("0x"), F.md5(F.concat(F.lit("t1:"), e))),
+        ).alias("topics"),
+    )
+    from ethereum_etl_spark.plans.entities import export_logs
+
+    out = export_logs(raw)
+    return out.select(
+        *[c for c in out.columns if c != "topics"],
+        F.concat_ws(",", F.col("topics")).alias("topics_csv"),
+    )
+
+
 def q_export_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim trace exporter surface (traces_item_exporter.py field list)
     over the flattened synthetic call trees: call-family folding into
@@ -1269,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_blocks": q_export_blocks,
         "export_transactions": q_export_transactions,
         "export_tokens": q_export_tokens,
+        "export_receipts": q_export_receipts,
+        "export_logs": q_export_logs,
         "export_traces": q_export_traces,
         "export_contracts": q_export_contracts,
         "lending_positions": q_lending_positions,
@@ -1566,6 +1622,31 @@ def oracle_sql() -> dict[str, str]:
                    tid * 100 AS block_number,
                    '0x' || substr(md5('ts:' || CAST(tid AS VARCHAR)), 1, 24) AS total_supply_hex
             FROM t
+        """,
+        "export_receipts": f"""
+            SELECT '0x' || md5('txh:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+                   {_sql_hex_to_hugeint("substr(md5('txi:' || CAST(event_id AS VARCHAR)), 1, 2)", 2)}::BIGINT AS transaction_index,
+                   '0x' || md5('blk:' || CAST(event_id // 10 AS VARCHAR)) AS block_hash,
+                   (event_id // 10)::BIGINT AS block_number,
+                   {_sql_hex_to_hugeint("substr(md5('cgu:' || CAST(event_id AS VARCHAR)), 1, 6)", 6)}::BIGINT AS cumulative_gas_used,
+                   {_sql_hex_to_hugeint("substr(md5('gu:' || CAST(event_id AS VARCHAR)), 1, 5)", 5)}::BIGINT AS gas_used,
+                   CASE WHEN event_id % 3 = 0
+                        THEN '0x' || {_sql_a40("ca:", "event_id")} END AS contract_address,
+                   NULL::VARCHAR AS root,
+                   CASE WHEN event_id % 11 = 0 THEN 0 ELSE 1 END::BIGINT AS status
+            FROM events
+        """,
+        "export_logs": f"""
+            SELECT (event_id % 1000)::BIGINT AS log_index,
+                   '0x' || md5('txh:' || CAST(event_id AS VARCHAR)) AS transaction_hash,
+                   {_sql_hex_to_hugeint("substr(md5('txi:' || CAST(event_id AS VARCHAR)), 1, 2)", 2)}::BIGINT AS transaction_index,
+                   '0x' || md5('blk:' || CAST(event_id // 10 AS VARCHAR)) AS block_hash,
+                   (event_id // 10)::BIGINT AS block_number,
+                   '0x' || {_sql_a40("la:", "event_id % 50")} AS address,
+                   '0x' || md5('ld:' || CAST(event_id AS VARCHAR)) AS data,
+                   '{TRANSFER_EVENT_TOPIC}' || ',0x' ||
+                       md5('t1:' || CAST(event_id AS VARCHAR)) AS topics_csv
+            FROM events
         """,
         "export_traces": f"""
             WITH base AS (
