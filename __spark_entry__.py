@@ -1300,6 +1300,20 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize kernel; the output payload is rendered as
+    hex so the deterministic fake bytes are value-checked."""
+    _utc(spark)
+    from ethereum_etl_spark.operators.multimodal import resize_images
+
+    media = synthesize_media(spark, 300)
+    out = resize_images(media, 32, 32)
+    return out.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms",
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -1351,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_resume": q_cdc_stream_resume,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -2004,5 +2019,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_sql_media_phex(300)}),
                  unnest(range(greatest(duration_ms // 1000, 1))) AS t2(f)
             WHERE kind = 'video'
+        """,
+        "multimodal_resize": f"""
+            SELECT media_id, kind, 'application/x-fake-' || kind AS mime,
+                   32::INT AS width, 32::INT AS height, duration_ms,
+                   sha256(phex || ':32x32') AS payload_hex
+            FROM ({_sql_media_phex(300)}) WHERE kind = 'image'
         """,
     }

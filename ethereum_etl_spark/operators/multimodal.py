@@ -151,8 +151,12 @@ def resize_images(media: DataFrame, width: int, height: int, backend: str = "fak
             out = pdf.copy()
             out["width"] = width
             out["height"] = height
+            # digest of "payloadhex:WxH" — varchar-only input, so the DuckDB
+            # oracle regenerates the resized payload bytes exactly
             out["payload"] = [
-                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                hashlib.sha256(
+                    f"{bytes(p).hex()}:{width}x{height}".encode()
+                ).digest()
                 for p in pdf["payload"]
             ]
             yield out
