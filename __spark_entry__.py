@@ -1114,8 +1114,10 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size(F.col("embedding"))).first()[0]
     out = lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 3), k=5, bits=6, score_fn=cosine_portable
+        emb, emb.filter(F.col("vec_id") < 3), k=5, bits=6, score_fn=cosine_portable,
+        dim=dim,
     )
     return out.select(
         "query_id",
@@ -1174,8 +1176,10 @@ def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ethereum_etl_spark.operators.similarity import lsh_bits_for_corpus
 
     bpb = max(4, lsh_bits_for_corpus(both.count(), target_bucket=64))
+    dim = emb.select(F.size(F.col("embedding"))).first()[0]
     pairs = embedding_near_dup_pairs_banded(
-        both, threshold=0.9, bands=4, bits_per_band=bpb, score_fn=cosine_portable
+        both, threshold=0.9, bands=4, bits_per_band=bpb, score_fn=cosine_portable,
+        dim=dim,
     )
     return pairs.select(
         "id_a", "id_b", F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim")
@@ -1185,7 +1189,10 @@ def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_bucket_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", sign_lsh_key(F.col("embedding"), bits=8).alias("bucket"))
+    dim = emb.select(F.size(F.col("embedding"))).first()[0]
+    return emb.select(
+        "vec_id", sign_lsh_key(F.col("embedding"), bits=8, dim=dim).alias("bucket")
+    )
 
 
 # -------- rows-only (non-SQL-expressible: full engine / streaming / media) --

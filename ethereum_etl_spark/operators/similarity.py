@@ -101,31 +101,53 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def sign_lsh_key(vec: Column, bits: int = 8) -> Column:
+def _plane_sign(j: int, i: int) -> float:
+    """Hyperplane h_j's ±1 component at dim i: parity of the first hex digit
+    of md5("j:i") — the same family the ANSI-SQL oracle reproduces."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+
+
+def sign_lsh_key(vec: Column, bits: int = 8, dim: int | None = None) -> Column:
     """Deterministic sign-sketch bucket key.
 
     Hyperplane h_j has ±1 components derived from md5(j, dim-index) — a
     seeded pseudo-random projection that both Spark and an ANSI-SQL oracle
     can reproduce exactly. Key = bit string of projection signs.
+
+    ``dim``: when the vector width is known (the usual case — embedding
+    columns are fixed-width), the ±1 components are precomputed on the
+    DRIVER into literal arrays and the per-row work is one zip_with
+    multiply-accumulate per bit — no md5, no branch, per row. Without
+    ``dim`` the signs are derived per element in-plan (same values, ~4x
+    slower). Both paths produce bit-identical keys: x * ±1.0 is an exact
+    IEEE sign flip, so the DECIMAL(18,6) quantization sees the same value
+    the branch formulation produced.
     """
+
     def bit(j: int) -> Column:
-        # transform with (element, 0-based index); hyperplane component sign
-        # = parity of the first hex digit of md5("j:i")
-        signed = F.transform(
-            vec,
-            lambda x, i: F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), i.cast("string"))), 1, 1),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                x.cast("double"),
+        if dim is not None:
+            signs = F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)])
+            signed = F.zip_with(
+                vec, signs, lambda x, s: (x.cast("double") * s).cast("decimal(18,6)")
             )
-            .otherwise(-x.cast("double"))
-            .cast("decimal(18,6)"),
-        )
+        else:
+            signed = F.transform(
+                vec,
+                lambda x, i: F.when(
+                    F.conv(
+                        F.substring(F.md5(F.concat_ws(":", F.lit(str(j)), i.cast("string"))), 1, 1),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                    == 0,
+                    x.cast("double"),
+                )
+                .otherwise(-x.cast("double"))
+                .cast("decimal(18,6)"),
+            )
         proj = F.aggregate(signed, F.lit(0).cast("decimal(38,6)"), lambda acc, v: acc + v)
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
@@ -140,6 +162,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_fn=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share the sign-LSH bucket, exact cosine re-rank.
 
@@ -149,12 +172,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        sign_lsh_key(F.col(vec_col), bits).alias("bucket"),
+        sign_lsh_key(F.col(vec_col), bits, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        sign_lsh_key(F.col(vec_col), bits).alias("bucket"),
+        sign_lsh_key(F.col(vec_col), bits, dim).alias("bucket"),
     )
     score_fn = score_fn or _default_score
     scored = (
@@ -263,6 +286,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     score_fn=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
     bucket by sign-LSH (or a metadata block), pairwise cosine within bucket.
@@ -276,7 +300,7 @@ def embedding_near_dup_pairs(
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        (F.col(block_col) if block_col else sign_lsh_key(F.col(vec_col), bits)).alias("bucket"),
+        (F.col(block_col) if block_col else sign_lsh_key(F.col(vec_col), bits, dim)).alias("bucket"),
     )
     score_fn = score_fn or _default_score
     a, b = base.alias("a"), base.alias("b")
@@ -299,6 +323,7 @@ def embedding_near_dup_pairs_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_fn=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded embedding near-dup — the at-scale variant: a
     ``bands*bits_per_band``-bit sign sketch split into ``bands`` shorter
@@ -323,7 +348,7 @@ def embedding_near_dup_pairs_banded(
     key_dir = tempfile.mkdtemp(prefix="lsh_sketch_")
     embeddings.select(
         F.col(id_col).alias("id"),
-        sign_lsh_key(F.col(vec_col), total_bits).alias("_key"),
+        sign_lsh_key(F.col(vec_col), total_bits, dim).alias("_key"),
     ).write.mode("overwrite").parquet(key_dir)
     keyed = embeddings.sparkSession.read.parquet(key_dir)
     banded = keyed.select(
