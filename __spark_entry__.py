@@ -22,11 +22,12 @@ ethereum_etl_spark/operators/similarity.py `cosine_portable`):
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ethereum_etl_spark import scratch
 
 from ethereum_etl_spark.functions.hex import TRANSFER_EVENT_TOPIC
 from ethereum_etl_spark.functions.text import (
@@ -1208,7 +1209,7 @@ def q_knowledge_graph_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_blocks = _synth_raw_blocks(ev)
     raw_logs = _synth_transfer_logs(ev).unionByName(_synth_event_logs(ev))
     tables = KnowledgeGraphTables.create(
-        spark, tempfile.mkdtemp(prefix="klg_"), n_buckets=8
+        spark, scratch.scratch_dir("klg_"), n_buckets=8
     )
     export_knowledge_graph(
         raw_blocks, raw_logs, tables, abis=[_DEPOSIT_ABI], batch_id="drv"
@@ -1223,7 +1224,7 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     n = 5000
     changes = generate_repo_changes(spark, n, seed=7, partitions=8)
-    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    root = scratch.scratch_dir("cdc_replay_")
     table = MergeTable(spark, root, n_buckets=8)
     replay_range(spark, changes, table, 0, n - 1, partition_size=2500)
     # replay idempotence: merging an already-committed range changes nothing
@@ -1240,7 +1241,7 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     n = 5000
     changes = generate_repo_changes(spark, n, seed=7, partitions=8)
-    root = tempfile.mkdtemp(prefix="cdc_latest_")
+    root = scratch.scratch_dir("cdc_latest_")
     table = MergeTable(spark, root, n_buckets=8)
     replay_range(spark, changes, table, 0, n - 1)
     return table.latest_state(keys=("repo", "path")).select(
@@ -1252,7 +1253,7 @@ def q_schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution (SURVEY §1.3): a later batch carries a new
     column; earlier rows read back NULL for it, nothing is rewritten."""
     _utc(spark)
-    root = tempfile.mkdtemp(prefix="cdc_evo_")
+    root = scratch.scratch_dir("cdc_evo_")
     table = MergeTable(spark, root, n_buckets=4)
     first = normalize_changes(generate_repo_changes(spark, 1000, seed=13, partitions=4))
     table.merge(first, "evo-1")
@@ -1272,8 +1273,8 @@ def q_cdc_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     n = 6000
     changes = generate_repo_changes(spark, n, seed=11, partitions=8)
-    root = tempfile.mkdtemp(prefix="cdc_stream_")
-    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    root = scratch.scratch_dir("cdc_stream_")
+    ckpt = scratch.scratch_dir("cdc_ckpt_")
     table = MergeTable(spark, root, n_buckets=8)
     src = TailSource(spark, changes, lag=0, batch_size=1500)
     s1 = Streamer(spark, src, table, ckpt, start_seq=0)

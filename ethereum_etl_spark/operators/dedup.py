@@ -174,12 +174,11 @@ def minhash_lsh_pairs(
     )
     if not materialize:
         return pairs
-    import tempfile
+    from ethereum_etl_spark import scratch
 
-    out_dir = tempfile.mkdtemp(prefix="minhash_pairs_")
-    pairs.write.mode("overwrite").parquet(out_dir)
+    out = scratch.materialize(pairs, "minhash_pairs_")
     base.unpersist()
-    return df.sparkSession.read.parquet(out_dir)
+    return out
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
@@ -357,12 +356,11 @@ def simhash_hamming_pairs(
     # and (b) the read is a barrier against project-collapse inlining the
     # fingerprint aggregate into each band substring (a measured per-band
     # re-evaluation otherwise). At cluster scale this is the fingerprint
-    # table you would persist bucketed anyway.
-    import tempfile
+    # table you would persist bucketed anyway. (Scratch-managed: the dir is
+    # tracked and removed at process exit — see ethereum_etl_spark.scratch.)
+    from ethereum_etl_spark import scratch
 
-    fp_dir = tempfile.mkdtemp(prefix="simhash_fp_")
-    base.write.mode("overwrite").parquet(fp_dir)
-    base = df.sparkSession.read.parquet(fp_dir)
+    base = scratch.materialize(base, "simhash_fp_")
     banded = base.select(
         "id",
         "fp",

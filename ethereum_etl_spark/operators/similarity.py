@@ -124,6 +124,10 @@ def sign_lsh_key(vec: Column, bits: int = 8, dim: int | None = None) -> Column:
     slower). Both paths produce bit-identical keys: x * ±1.0 is an exact
     IEEE sign flip, so the DECIMAL(18,6) quantization sees the same value
     the branch formulation produced.
+
+    With ``dim`` set, a row whose vector length differs from ``dim`` raises
+    (``zip_with`` would otherwise null-pad, silently mis-keying the row to
+    the all-'0' bucket) — ragged corpora must pass ``dim=None``.
     """
 
     def bit(j: int) -> Column:
@@ -151,7 +155,18 @@ def sign_lsh_key(vec: Column, bits: int = 8, dim: int | None = None) -> Column:
         proj = F.aggregate(signed, F.lit(0).cast("decimal(38,6)"), lambda acc, v: acc + v)
         return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    return F.concat(*[bit(j) for j in range(bits)])
+    key = F.concat(*[bit(j) for j in range(bits)])
+    if dim is None:
+        return key
+    return F.when(F.size(vec) == dim, key).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("sign_lsh_key: vector length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != dim={dim} (pass dim=None for ragged corpora)"),
+            )
+        )
+    )
 
 
 def lsh_topk(
@@ -324,6 +339,7 @@ def embedding_near_dup_pairs_banded(
     vec_col: str = "embedding",
     score_fn=None,
     dim: int | None = None,
+    prefilter_margin: float | None = 1e-3,
 ) -> DataFrame:
     """Banded embedding near-dup — the at-scale variant: a
     ``bands*bits_per_band``-bit sign sketch split into ``bands`` shorter
@@ -343,14 +359,16 @@ def embedding_near_dup_pairs_banded(
     # ONE sketch computation, and the read is a barrier against project-
     # collapse inlining the per-bit aggregates into each band substring.
     # At cluster scale this is the sketch table you would persist bucketed.
-    import tempfile
+    # (Scratch-managed dir — removed at process exit.)
+    from ethereum_etl_spark import scratch
 
-    key_dir = tempfile.mkdtemp(prefix="lsh_sketch_")
-    embeddings.select(
-        F.col(id_col).alias("id"),
-        sign_lsh_key(F.col(vec_col), total_bits, dim).alias("_key"),
-    ).write.mode("overwrite").parquet(key_dir)
-    keyed = embeddings.sparkSession.read.parquet(key_dir)
+    keyed = scratch.materialize(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            sign_lsh_key(F.col(vec_col), total_bits, dim).alias("_key"),
+        ),
+        "lsh_sketch_",
+    )
     banded = keyed.select(
         "id",
         F.posexplode(
@@ -376,17 +394,31 @@ def embedding_near_dup_pairs_banded(
     va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     joined = cand.join(va, "id_a").join(vb, "id_b")
-    if score_fn is cosine_portable:
+    if score_fn is cosine_portable and prefilter_margin is not None:
         # Exact-decimal cosine is ~an order of magnitude costlier than the
         # float one, and candidates outnumber survivors ~100:1. Two-stage
-        # verify: (1) float cosine prefilter at threshold − margin (the
-        # decimal quantization error is ≤ dim·5e-7, far inside the margin),
-        # (2) the bit-exact portable cosine only on survivors. Identical
-        # output to a single exact pass, measured ~4x faster end-to-end.
-        margin = 1e-3
-        joined = joined.filter(
-            cosine(F.col("_va"), F.col("_vb")) >= threshold - margin
-        )
+        # verify: (1) float cosine prefilter at threshold − margin, (2) the
+        # bit-exact portable cosine only on survivors — identical output to
+        # a single exact pass, measured ~4x faster end-to-end.
+        #
+        # Margin soundness: |cosine − cosine_portable| ≤ dim·5e-7/(|a||b|)
+        # (per-product DECIMAL(18,6) quantization). The base
+        # ``prefilter_margin`` assumes roughly unit-norm embeddings; rather
+        # than trust that, widen it by the bound at the corpus's observed
+        # worst case (one cheap agg pass). Degenerate norms (≈0) would blow
+        # the bound up — then the prefilter is skipped entirely, which is
+        # always output-safe. Pass ``prefilter_margin=None`` to force a
+        # single exact pass.
+        stats = embeddings.agg(
+            F.min(l2_norm(F.col(vec_col))).alias("mn"),
+            F.max(F.size(F.col(vec_col))).alias("dim"),
+        ).first()
+        min_norm, obs_dim = float(stats["mn"] or 0.0), int(stats["dim"] or 0)
+        if min_norm > 1e-6:
+            margin = prefilter_margin + obs_dim * 5e-7 / (min_norm * min_norm)
+            joined = joined.filter(
+                cosine(F.col("_va"), F.col("_vb")) >= threshold - margin
+            )
     return joined.select(
         "id_a", "id_b", score_fn(F.col("_va"), F.col("_vb")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)

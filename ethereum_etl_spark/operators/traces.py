@@ -193,11 +193,9 @@ def flatten_geth_traces_relational(
             return traces.sparkSession.createDataFrame([], TRACE_SCHEMA)
         if not materialize:
             return out
-        import tempfile
+        from ethereum_etl_spark import scratch
 
-        out_dir = tempfile.mkdtemp(prefix="trace_flat_")
-        out.write.mode("overwrite").parquet(out_dir)
-        return traces.sparkSession.read.parquet(out_dir)
+        return scratch.materialize(out, "trace_flat_")
     finally:
         if materialize:
             for lv in levels:

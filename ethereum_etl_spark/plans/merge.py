@@ -100,6 +100,7 @@ class MergeTable:
         mode: str = "cow",
         compact_threshold: int = 8,
         merge_salts: int = 1,
+        auto_expire_keep: int | None = None,
     ):
         """``mode``:
 
@@ -120,6 +121,11 @@ class MergeTable:
         per-key window stays correct while the sort fans out to
         ``n_buckets * merge_salts`` partitions. Sizing rule: buckets*salts ≈
         cluster cores * k. Default 1 = off.
+
+        ``auto_expire_keep``: when set, every commit is followed by
+        ``expire_snapshots(keep_last=auto_expire_keep)`` — the bounded-disk
+        mode for long-running streams (a micro-batch stream otherwise
+        accumulates one superseded copy of every touched bucket per merge).
         """
         if mode not in ("cow", "mor"):
             raise ValueError(mode)
@@ -133,6 +139,9 @@ class MergeTable:
         self.mode = mode
         self.compact_threshold = compact_threshold
         self.merge_salts = merge_salts
+        if auto_expire_keep is not None and auto_expire_keep < 1:
+            raise ValueError("auto_expire_keep must be >= 1")
+        self.auto_expire_keep = auto_expire_keep
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -167,6 +176,60 @@ class MergeTable:
     def _log_lineage(self, m: MergeMetrics) -> None:
         with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
             f.write(json.dumps(m.to_dict()) + "\n")
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Delete snapshot manifests — and the data directories no retained
+        snapshot references — the Iceberg ``expire_snapshots`` + ``vacuum``
+        analog this table previously lacked (every COW merge strands the
+        superseded copy of each touched bucket; a long stream grows the
+        table's footprint linearly in merges, not in data).
+
+        Retains the current snapshot plus the ``keep_last - 1`` before it
+        (older snapshots are no longer time-travel-readable). Readers are
+        safe: the manifest pointer always names a retained snapshot, and
+        files referenced by any retained snapshot are never touched. Orphan
+        snapshots *newer* than the manifest pointer (a crash between
+        snapshot write and pointer swap) are cleaned up too.
+        """
+        import shutil
+
+        stats = {"snapshots_removed": 0, "dirs_removed": 0}
+        snap = self.current_snapshot()
+        if snap is None or keep_last < 1:
+            return stats
+        sdir = os.path.join(self.root, "snapshots")
+        ids = sorted(
+            int(f[:-5]) for f in os.listdir(sdir) if f.endswith(".json")
+        )
+        cur = snap["id"]
+        retained = {i for i in ids if cur - keep_last < i <= cur}
+        referenced: set[str] = set()
+        for i in sorted(retained):
+            with open(os.path.join(sdir, f"{i}.json")) as f:
+                s = json.load(f)
+            for plist in s["buckets"].values():
+                referenced.update(os.path.normpath(p) for p in plist)
+        data_root = os.path.join(self.root, "data")
+        for d in sorted(os.listdir(data_root)):
+            dpath = os.path.join(data_root, d)
+            if not os.path.isdir(dpath):
+                continue
+            for b in sorted(os.listdir(dpath)):
+                bpath = os.path.normpath(os.path.join(dpath, b))
+                if os.path.isdir(bpath) and bpath not in referenced:
+                    shutil.rmtree(bpath, ignore_errors=True)
+                    stats["dirs_removed"] += 1
+            # drop the snapshot dir once no bucket dirs remain (write-marker
+            # files like _SUCCESS don't keep it alive)
+            if not any(
+                os.path.isdir(os.path.join(dpath, e)) for e in os.listdir(dpath)
+            ):
+                shutil.rmtree(dpath, ignore_errors=True)
+        for i in ids:
+            if i not in retained:
+                os.remove(os.path.join(sdir, f"{i}.json"))
+                stats["snapshots_removed"] += 1
+        return stats
 
     # ---------------- read path ----------------
 
@@ -368,6 +431,8 @@ class MergeTable:
             "merge_salts": self.merge_salts,
         }
         self._commit(snapshot)
+        if self.auto_expire_keep is not None:
+            self.expire_snapshots(keep_last=self.auto_expire_keep)
 
         m = MergeMetrics(
             batch_id,

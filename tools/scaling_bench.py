@@ -57,8 +57,14 @@ def child(cpus: int, log_dir: str) -> None:
     # write/commit) with a small replay so the timed run is steady-state:
     # JVM/JIT/codegen warmup is a constant adder that would otherwise be
     # misread as an (anti-)scaling term at high core counts
-    warm = MergeTable(spark, tempfile.mkdtemp(prefix=f"warm_{cpus}_"), n_buckets=8)
+    import shutil
+
+    warm_root = tempfile.mkdtemp(prefix=f"warm_{cpus}_")
+    warm = MergeTable(spark, warm_root, n_buckets=8)
     replay_range(spark, log_dir, warm, 0, min(49_999, N_ROWS - 1), partition_size=None)
+    # the warm table served its purpose; don't let 9 trials x 5 levels of
+    # warm-up tables chew the disk headroom this bench depends on
+    shutil.rmtree(warm_root, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix=f"scal_{cpus}_")
     # merge_salts=4: the salted merge-apply window (north rule) at every
@@ -70,8 +76,6 @@ def child(cpus: int, log_dir: str) -> None:
     print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3)}))
     # a full-size replayed table per trial exhausts the disk across a
     # 9-trial run (disk-full masquerades as throttling) — clean as we go
-    import shutil
-
     shutil.rmtree(root, ignore_errors=True)
 
 
@@ -123,12 +127,19 @@ def orchestrate() -> None:
     import shutil
 
     shutil.rmtree(log_dir, ignore_errors=True)
-    med = {c: statistics.median(walls[c]) for c in CPU_LEVELS}
-    thr = {c: round(N_ROWS / med[c], 1) for c in CPU_LEVELS}
-    probe_med = {c: round(statistics.median(probes[c]) / 1e6, 2) for c in CPU_LEVELS}
+    # a level whose every trial failed (both attempts, all trials) has no
+    # walls — report it as absent instead of letting median([]) throw away
+    # the whole run's results
+    ok_levels = [c for c in CPU_LEVELS if walls[c]]
+    for c in CPU_LEVELS:
+        if c not in ok_levels:
+            sys.stderr.write(f"level cpus={c}: no successful trials, omitted\n")
+    med = {c: statistics.median(walls[c]) for c in ok_levels}
+    thr = {c: round(N_ROWS / med[c], 1) for c in ok_levels}
+    probe_med = {c: round(statistics.median(probes[c]) / 1e6, 2) for c in ok_levels}
 
     pairs = []
-    levels = sorted(CPU_LEVELS)
+    levels = sorted(ok_levels)
     for lo, hi in zip(levels, levels[1:]):
         ratio = hi / lo
         speed = thr[hi] / thr[lo]
