@@ -68,7 +68,10 @@ from ethereum_etl_spark.operators.similarity import (
     sign_lsh_key,
 )
 from ethereum_etl_spark.operators.skew import salted_aggregate
-from ethereum_etl_spark.operators.traces import flatten_geth_traces
+from ethereum_etl_spark.operators.traces import (
+    flatten_geth_traces,
+    flatten_geth_traces_structured,
+)
 from ethereum_etl_spark.operators.transfers import extract_token_transfers
 from ethereum_etl_spark.plans.entities import (
     export_blocks,
@@ -714,25 +717,41 @@ def _synth_trace_json(eid) -> F.Column:
     )
 
 
-def q_trace_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6: recursive call-tree flatten (mapInPandas kernel) over a
-    deterministic tree per event; the oracle enumerates the same frames
-    closed-form (root + children + grandchildren unions)."""
-    _utc(spark)
+def _synth_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _tp(spark, sf_dir, "events")
     eid = F.col("event_id")
-    traces = ev.select(
+    return ev.select(
         (eid / 10).cast("long").alias("block_number"),
         F.concat(F.lit("0x"), F.md5(F.concat(F.lit("tx:"), eid.cast("string")))).alias(
             "transaction_hash"
         ),
         _synth_trace_json(eid).alias("trace_json"),
     )
-    return flatten_geth_traces(traces).select(
-        "block_number", "transaction_hash", "trace_address", "depth",
-        "subtraces", "trace_type", "from_address", "to_address",
-        "value_hex", "gas_hex", "error",
-    )
+
+
+_TRACE_COLS = [
+    "block_number", "transaction_hash", "trace_address", "depth",
+    "subtraces", "trace_type", "from_address", "to_address",
+    "value_hex", "gas_hex", "error",
+]
+
+
+def q_trace_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: recursive call-tree flatten — the single-parse pure-JVM variant
+    (one from_json against a fixed-depth nested struct schema, one generated
+    transform/flatten expression, no Python workers) over a deterministic
+    tree per event; the oracle enumerates the same frames closed-form
+    (root + children + grandchildren unions)."""
+    _utc(spark)
+    return flatten_geth_traces_structured(_synth_traces(spark, sf_dir)).select(*_TRACE_COLS)
+
+
+def q_trace_flatten_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas flatten kernel, independently
+    value-checked against the same closed-form oracle as the structured
+    default (both variants must stay row-identical)."""
+    _utc(spark)
+    return flatten_geth_traces(_synth_traces(spark, sf_dir)).select(*_TRACE_COLS)
 
 
 def _synth_contract_bytecode() -> F.Column:
@@ -825,7 +844,7 @@ def q_export_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _synth_trace_json(eid).alias("trace_json"),
     )
-    out = export_traces(flatten_geth_traces(traces))
+    out = export_traces(flatten_geth_traces_structured(traces))
     return out.select(
         *[c for c in out.columns if c != "value"],
         F.col("value").cast("string").alias("value"),
@@ -1341,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_transfer_decode": q_token_transfer_decode,
         "abi_event_decode": q_abi_event_decode,
         "trace_flatten": q_trace_flatten,
+        "trace_flatten_kernel": q_trace_flatten_kernel,
         "contract_classify": q_contract_classify,
         "export_blocks": q_export_blocks,
         "export_transactions": q_export_transactions,
@@ -1382,6 +1402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # both flatten variants are checked against the SAME closed-form oracle
+    out["trace_flatten_kernel"] = out["trace_flatten"]
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     rev = "SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))"
     price = "CAST(l_extendedprice AS DECIMAL(8,2))"
     one = "CAST(1 AS DECIMAL(8,2))"

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "token_transfer_decode",
     "abi_event_decode",
     "trace_flatten",
+    "trace_flatten_kernel",
     "lending_positions",
     "wallet_balance_fold",
     "dedup_exact",

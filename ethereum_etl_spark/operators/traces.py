@@ -17,6 +17,7 @@ one pass, no shuffle, output size = total frames. Everything downstream
 from __future__ import annotations
 
 import json
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -99,6 +100,88 @@ _FRAME_DDL = (
     "calls ARRAY<STRING>, _corrupt STRING"
 )
 
+_SCALAR_FIELDS = (
+    "`type`: STRING, `from`: STRING, `to`: STRING, `value`: STRING, "
+    "`gas`: STRING, `error`: STRING, `input`: STRING, `output`: STRING, "
+    "`gasUsed`: STRING"
+)
+
+
+def _frame_rows(parsed: DataFrame, p) -> DataFrame:
+    """One output row per frame from a frontier whose ``p`` column is the
+    parsed node (struct) — shared by every flatten variant so their field
+    semantics cannot drift (lowercasing, '' -> 'call' default, null from/to)."""
+    t = F.coalesce(p["type"], F.lit(""))
+    return parsed.select(
+        "block_number",
+        "transaction_hash",
+        F.col("_path").alias("trace_address"),
+        F.col("_depth").cast("int").alias("depth"),
+        F.coalesce(F.size(p["calls"]), F.lit(0)).cast("int").alias("subtraces"),
+        F.when(F.length(t) > 0, F.lower(t)).otherwise(F.lit("call")).alias("trace_type"),
+        F.nullif(F.lower(F.coalesce(p["from"], F.lit(""))), F.lit("")).alias("from_address"),
+        F.nullif(F.lower(F.coalesce(p["to"], F.lit(""))), F.lit("")).alias("to_address"),
+        p["value"].alias("value_hex"),
+        p["gas"].alias("gas_hex"),
+        p["error"].alias("error"),
+        p["input"].alias("input"),
+        p["output"].alias("output"),
+        p["gasUsed"].alias("gas_used_hex"),
+    )
+
+
+def _child_frontier(parsed: DataFrame, calls) -> DataFrame:
+    """Explode a frontier's ``calls`` into the next frontier, extending the
+    trace_address path with each child's position."""
+    return (
+        parsed.filter(F.size(calls) > 0)
+        .select(
+            "block_number",
+            "transaction_hash",
+            "_path",
+            "_depth",
+            F.posexplode(calls).alias("_pos", "_node"),
+        )
+        .select(
+            "block_number",
+            "transaction_hash",
+            "_node",
+            F.when(
+                F.length("_path") > 0,
+                F.concat(F.col("_path"), F.lit(","), F.col("_pos")),
+            )
+            .otherwise(F.col("_pos").cast("string"))
+            .alias("_path"),
+            (F.col("_depth") + 1).alias("_depth"),
+        )
+    )
+
+
+def _string_level_loop(frontier: DataFrame, max_levels: int, levels: list):
+    """Level-by-level walk of a STRING-node frontier (columns block_number,
+    transaction_hash, _node json-text, _path, _depth): parse one level,
+    emit its rows, explode its children as raw JSON strings. Appends each
+    persisted level to ``levels`` (caller unpersists); returns the union of
+    row DataFrames or None."""
+    p = F.col("_p")
+    out = None
+    for _ in range(max_levels):
+        # PERMISSIVE from_json yields an all-null struct (not NULL) for
+        # malformed text; the corrupt-record column makes the skip
+        # explicit, matching the kernel's json.loads try/except
+        parsed = frontier.withColumn(
+            "_p",
+            F.from_json("_node", _FRAME_DDL, {"columnNameOfCorruptRecord": "_corrupt"}),
+        ).filter(F.col("_p").isNotNull() & F.col("_p")["_corrupt"].isNull())
+        parsed = parsed.persist()
+        levels.append(parsed)
+        if parsed.isEmpty():
+            break
+        rows = _frame_rows(parsed, p)
+        out = rows if out is None else out.unionByName(rows)
+        frontier = _child_frontier(parsed, p["calls"])
+    return out
+
 
 def flatten_geth_traces_relational(
     traces: DataFrame,
@@ -120,13 +203,13 @@ def flatten_geth_traces_relational(
     depth caps at 1024). With ``materialize`` (default) the union of levels
     is written out and the level caches released before returning.
 
-    Cost note vs the mapInPandas kernel: from_json re-parses each subtree
-    once per ancestor level, so worst-case parse cost is O(size * depth) —
-    the kernel parses once but walks in Python. Measured at sf0.1 they are
-    within ~2x of each other; this variant keeps the whole plan in
-    whole-stage codegen and is the scale default.
+    Cost note: from_json re-parses each subtree once per ancestor level, so
+    worst-case parse cost is O(size * depth). Prefer
+    :func:`flatten_geth_traces_structured`, which parses ONCE against a
+    fixed-depth nested struct schema and only falls back to this loop for
+    the rare deeper-than-schema rows — this variant remains as the
+    unbounded-depth fallback and as an independent cross-check.
     """
-    p = F.col("_p")
     frontier = traces.select(
         F.col(block_col).alias("block_number"),
         F.col(tx_col).alias("transaction_hash"),
@@ -134,61 +217,9 @@ def flatten_geth_traces_relational(
         F.lit("").alias("_path"),
         F.lit(0).alias("_depth"),
     )
-    levels = []
-    out = None
+    levels: list[DataFrame] = []
     try:
-        for _ in range(max_depth + 1):
-            # PERMISSIVE from_json yields an all-null struct (not NULL) for
-            # malformed text; the corrupt-record column makes the skip
-            # explicit, matching the kernel's json.loads try/except
-            parsed = frontier.withColumn(
-                "_p",
-                F.from_json("_node", _FRAME_DDL, {"columnNameOfCorruptRecord": "_corrupt"}),
-            ).filter(F.col("_p").isNotNull() & F.col("_p")["_corrupt"].isNull())
-            parsed = parsed.persist()
-            levels.append(parsed)
-            if parsed.isEmpty():
-                break
-            t = F.coalesce(p["type"], F.lit(""))
-            rows = parsed.select(
-                "block_number",
-                "transaction_hash",
-                F.col("_path").alias("trace_address"),
-                F.col("_depth").cast("int").alias("depth"),
-                F.coalesce(F.size(p["calls"]), F.lit(0)).cast("int").alias("subtraces"),
-                F.when(F.length(t) > 0, F.lower(t)).otherwise(F.lit("call")).alias("trace_type"),
-                F.nullif(F.lower(F.coalesce(p["from"], F.lit(""))), F.lit("")).alias("from_address"),
-                F.nullif(F.lower(F.coalesce(p["to"], F.lit(""))), F.lit("")).alias("to_address"),
-                p["value"].alias("value_hex"),
-                p["gas"].alias("gas_hex"),
-                p["error"].alias("error"),
-                p["input"].alias("input"),
-                p["output"].alias("output"),
-                p["gasUsed"].alias("gas_used_hex"),
-            )
-            out = rows if out is None else out.unionByName(rows)
-            frontier = (
-                parsed.filter(F.size(p["calls"]) > 0)
-                .select(
-                    "block_number",
-                    "transaction_hash",
-                    "_path",
-                    "_depth",
-                    F.posexplode(p["calls"]).alias("_pos", "_node"),
-                )
-                .select(
-                    "block_number",
-                    "transaction_hash",
-                    "_node",
-                    F.when(
-                        F.length("_path") > 0,
-                        F.concat(F.col("_path"), F.lit(","), F.col("_pos")),
-                    )
-                    .otherwise(F.col("_pos").cast("string"))
-                    .alias("_path"),
-                    (F.col("_depth") + 1).alias("_depth"),
-                )
-            )
+        out = _string_level_loop(frontier, max_depth + 1, levels)
         if out is None:
             return traces.sparkSession.createDataFrame([], TRACE_SCHEMA)
         if not materialize:
@@ -200,6 +231,186 @@ def flatten_geth_traces_relational(
         if materialize:
             for lv in levels:
                 lv.unpersist()
+
+
+def _nested_node_ddl(levels: int) -> str:
+    """DDL for a call-tree struct ``levels`` deep; the deepest level's
+    ``calls`` is ``ARRAY<STRING>`` (raw JSON text), which is both the
+    spill-over detector and the fallback handoff for deeper trees."""
+    node = f"STRUCT<{_SCALAR_FIELDS}, `calls`: ARRAY<STRING>>"
+    for _ in range(levels - 1):
+        node = f"STRUCT<{_SCALAR_FIELDS}, `calls`: ARRAY<{node}>>"
+    return node
+
+
+def _frame_struct(node, path, depth: int, spill) -> "F.Column":
+    """One output frame as a struct — RAW field values (normalization to
+    lower/'' -> 'call' etc. happens once, post-explode, in
+    ``_post_explode_select``); every branch must produce the exact same
+    field order/types for array concat."""
+    return F.struct(
+        path.alias("_path"),
+        F.lit(depth).cast("int").alias("_depth"),
+        (F.coalesce(F.size(node["calls"]), F.lit(0)).cast("int") if node is not None
+         else F.lit(None).cast("int")).alias("_subtraces"),
+        *[
+            (node[f] if node is not None else F.lit(None).cast("string")).alias(f"_{f}")
+            for f in ("type", "from", "to", "value", "gas", "error",
+                      "input", "output", "gasUsed")
+        ],
+        (spill if spill is not None else F.lit(None).cast("string")).alias("_spill"),
+    )
+
+
+def _frames_array(node, path, depth: int, struct_depth: int):
+    """array<frame-struct> for ``node`` and its whole subtree, built as one
+    nested transform/flatten expression — the recursion is unrolled at plan
+    build time (the schema depth is fixed), so the runtime is a single
+    expression-tree walk over already-parsed structs.
+
+    Paths are built comma-PREFIXED (root '', child ',0', grandchild ',0,1')
+    so each level references the parent path expression exactly ONCE — a
+    'prefix only when non-empty' conditional would reference it 3×/level,
+    an O(3^depth) expression blow-up (measured: 155 s to build depth 16).
+    The single leading comma is stripped once, post-explode."""
+    self_frame = F.array(_frame_struct(node, path, depth, None))
+
+    def child_path(i):
+        return F.concat(path, F.lit(","), i.cast("string"))
+
+    if depth == struct_depth - 1:
+        # deepest schema level: calls elements are raw JSON STRING — emit
+        # them as spill markers for the string-loop handoff
+        kids = F.transform(
+            node["calls"],
+            lambda c, i: _frame_struct(None, child_path(i), depth + 1, c),
+        )
+    else:
+        kids = F.flatten(
+            F.transform(
+                node["calls"],
+                lambda c, i: _frames_array(c, child_path(i), depth + 1, struct_depth),
+            )
+        )
+    return F.concat(self_frame, F.coalesce(kids, F.array()))
+
+
+@lru_cache(maxsize=8)
+def _cached_frames_array(struct_depth: int):
+    """The frames expression depends only on ``struct_depth`` and Columns
+    are immutable unresolved expressions — building it once per depth saves
+    ~1 s of expression construction on every invocation."""
+    return _frames_array(F.col("_node"), F.lit(""), 0, struct_depth)
+
+
+def flatten_geth_traces_structured(
+    traces: DataFrame,
+    trace_col: str = "trace_json",
+    block_col: str = "block_number",
+    tx_col: str = "transaction_hash",
+    struct_depth: int = 16,
+    max_depth: int = 1024,
+    materialize: bool = True,
+) -> DataFrame:
+    """Single-parse, single-pass, pure-JVM trace flatten — the scale
+    default.
+
+    ONE ``from_json`` against a struct schema nested ``struct_depth`` deep
+    parses the whole call tree; ONE generated nested
+    ``transform``/``flatten`` expression then emits every frame (with its
+    accumulated trace_address path) as an array, exploded once. No Python
+    workers (vs the mapInPandas kernel), no per-level re-parse (vs the
+    relational loop's O(size × depth)), no persisted frontiers, no
+    level-by-level job barrier — one scan, one narrow pipeline, full
+    whole-stage codegen.
+
+    Trees deeper than ``struct_depth`` (EVM call depth caps at 1024, real
+    trees ≤ ~16): the deepest schema level types ``calls`` as
+    ``ARRAY<STRING>``, and those raw-JSON subtrees are emitted as spill
+    rows alongside the normal frames, then (only if any exist — one cheap
+    pushed-filter probe against the materialized output) continued through
+    the level-by-level string loop. Identical output to the kernel on any
+    input.
+    """
+    if struct_depth < 1:
+        raise ValueError("struct_depth must be >= 1")
+    root_ddl = (
+        f"{_SCALAR_FIELDS.replace(':', '')}, "
+        + (
+            f"`calls` ARRAY<{_nested_node_ddl(struct_depth - 1)}>, "
+            if struct_depth > 1
+            else "`calls` ARRAY<STRING>, "
+        )
+        + "`_corrupt` STRING"
+    )
+    node = F.col("_node")
+    parsed = traces.select(
+        F.col(block_col).alias("block_number"),
+        F.col(tx_col).alias("transaction_hash"),
+        F.from_json(
+            trace_col, root_ddl, {"columnNameOfCorruptRecord": "_corrupt"}
+        ).alias("_node"),
+    ).filter(node.isNotNull() & node["_corrupt"].isNull())
+    exploded = parsed.select(
+        "block_number",
+        "transaction_hash",
+        F.explode(_cached_frames_array(struct_depth)).alias("_f"),
+    )
+    f = F.col("_f")
+    flat = exploded.select(
+        "block_number",
+        "transaction_hash",
+        f["_path"].alias("_path"),
+        f["_depth"].alias("_depth"),
+        f["_subtraces"].alias("_subtraces"),
+        *[f[f"_{c}"].alias(f"_{c}") for c in ("type", "from", "to", "value", "gas",
+                                              "error", "input", "output", "gasUsed")],
+        f["_spill"].alias("_spill"),
+    )
+    from ethereum_etl_spark import scratch
+
+    # materialize once: the normal rows AND the spill probe read the same
+    # computation (and the spill filter is a pushed parquet predicate)
+    store = scratch.materialize(flat, "trace_flat_")
+    t = F.coalesce(F.col("_type"), F.lit(""))
+    # paths were built comma-prefixed (see _frames_array); strip once here
+    rows = store.filter(F.col("_spill").isNull()).select(
+        "block_number",
+        "transaction_hash",
+        F.expr("substring(_path, 2)").alias("trace_address"),
+        F.col("_depth").cast("int").alias("depth"),
+        F.col("_subtraces").cast("int").alias("subtraces"),
+        F.when(F.length(t) > 0, F.lower(t)).otherwise(F.lit("call")).alias("trace_type"),
+        F.nullif(F.lower(F.coalesce(F.col("_from"), F.lit(""))), F.lit("")).alias("from_address"),
+        F.nullif(F.lower(F.coalesce(F.col("_to"), F.lit(""))), F.lit("")).alias("to_address"),
+        F.col("_value").alias("value_hex"),
+        F.col("_gas").alias("gas_hex"),
+        F.col("_error").alias("error"),
+        F.col("_input").alias("input"),
+        F.col("_output").alias("output"),
+        F.col("_gasUsed").alias("gas_used_hex"),
+    )
+    spill_frontier = store.filter(F.col("_spill").isNotNull()).select(
+        "block_number",
+        "transaction_hash",
+        F.col("_spill").alias("_node"),
+        F.expr("substring(_path, 2)").alias("_path"),
+        F.col("_depth").cast("int").alias("_depth"),
+    )
+    if spill_frontier.isEmpty():
+        return rows
+    levels: list[DataFrame] = []
+    try:
+        spill = _string_level_loop(spill_frontier, max_depth + 1 - struct_depth, levels)
+        if spill is None:
+            return rows
+        out = rows.unionByName(spill)
+        if not materialize:
+            return out
+        return scratch.materialize(out, "trace_flat_")
+    finally:
+        for lv in levels:
+            lv.unpersist()
 
 
 def route_trace_fields(flat: DataFrame) -> DataFrame:

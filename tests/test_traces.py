@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from ethereum_etl_spark.operators.traces import (
     flatten_geth_traces,
     flatten_geth_traces_relational,
+    flatten_geth_traces_structured,
     genesis_traces,
     route_trace_fields,
 )
@@ -72,6 +73,15 @@ def test_relational_flatten_matches_kernel(spark):
     b = sorted(tuple(r) for r in flatten_geth_traces_relational(df).collect())
     assert a == b
     assert len(a) == 4 + 13  # TREE frames + chain frames
+    # the single-parse structured variant, both fully in-schema and with the
+    # 7-deep chain spilling past a 3-deep schema into the string loop
+    c = sorted(tuple(r) for r in flatten_geth_traces_structured(df).collect())
+    assert a == c
+    d = sorted(
+        tuple(r)
+        for r in flatten_geth_traces_structured(df, struct_depth=3).collect()
+    )
+    assert a == d
 
 
 def test_route_and_status(spark):
