@@ -1193,12 +1193,12 @@ def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 10000
     )
     both = emb.unionByName(planted)
-    from ethereum_etl_spark.operators.similarity import lsh_bits_for_corpus
-
-    bpb = max(4, lsh_bits_for_corpus(both.count(), target_bucket=64))
     dim = emb.select(F.size(F.col("embedding"))).first()[0]
+    # bits_per_band='auto': the operator applies the corpus-sizing rule
+    # itself (550 vectors at sf0.01 -> 4-bit bands, which the oracle SQL
+    # below is pinned to)
     pairs = embedding_near_dup_pairs_banded(
-        both, threshold=0.9, bands=4, bits_per_band=bpb, score_fn=cosine_portable,
+        both, threshold=0.9, bands=4, bits_per_band="auto", score_fn=cosine_portable,
         dim=dim,
     )
     return pairs.select(

@@ -293,25 +293,42 @@ def lsh_bits_for_corpus(n_rows: int, target_bucket: int = 1024) -> int:
     return max(4, math.ceil(math.log2(max(n_rows / max(target_bucket, 1), 2))))
 
 
+def _resolve_bits(bits, df: DataFrame, target_bucket: int) -> int:
+    """``bits='auto'`` → apply :func:`lsh_bits_for_corpus` to the corpus
+    row count (one column-pruned count job). Fixed small sketches are the
+    classic near-dup scale bug — buckets grow as n/2^bits, so the
+    within-bucket join quietly goes quadratic as the corpus grows; auto is
+    the safe default for callers that don't pre-size."""
+    if bits == "auto":
+        return lsh_bits_for_corpus(df.count(), target_bucket=target_bucket)
+    if not isinstance(bits, int):
+        raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
+    return bits
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    bits: int = 12,
+    bits: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
     score_fn=None,
     dim: int | None = None,
+    auto_target_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup strategy):
     bucket by sign-LSH (or a metadata block), pairwise cosine within bucket.
 
     ``bits`` must grow with the corpus (see ``lsh_bits_for_corpus``): a
-    fixed small sketch makes the within-bucket join quadratic. A single
-    wide key also *loses recall* (near-dups must agree on every bit) — at
-    scale prefer ``embedding_near_dup_pairs_banded``, which ORs several
-    shorter keys exactly like the MinHash band scheme.
+    fixed small sketch makes the within-bucket join quadratic — the default
+    ``'auto'`` sizes it from the corpus count. A single wide key also
+    *loses recall* (near-dups must agree on every bit) — at scale prefer
+    ``embedding_near_dup_pairs_banded``, which ORs several shorter keys
+    exactly like the MinHash band scheme.
     """
+    if block_col is None:
+        bits = _resolve_bits(bits, embeddings, auto_target_bucket)
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -334,12 +351,13 @@ def embedding_near_dup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.95,
     bands: int = 4,
-    bits_per_band: int = 8,
+    bits_per_band: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_fn=None,
     dim: int | None = None,
     prefilter_margin: float | None = 1e-3,
+    auto_target_bucket: int = 64,
 ) -> DataFrame:
     """Banded embedding near-dup — the at-scale variant: a
     ``bands*bits_per_band``-bit sign sketch split into ``bands`` shorter
@@ -354,6 +372,10 @@ def embedding_near_dup_pairs_banded(
     and the vector payloads only travel in the final verify join.
     """
     score_fn = score_fn or _default_score
+    # 'auto' (default): per-band width from the corpus count so per-band
+    # bucket sizes stay ~auto_target_bucket as n grows (per-band collision
+    # work ~ n*target, never n²/2^bits with a width someone fixed at small n)
+    bits_per_band = _resolve_bits(bits_per_band, embeddings, auto_target_bucket)
     total_bits = bands * bits_per_band
     # Materialize the slim (id, key) sketch table: both self-join sides read
     # ONE sketch computation, and the read is a barrier against project-

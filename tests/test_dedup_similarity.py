@@ -177,6 +177,20 @@ def test_embedding_near_dup_banded(spark, embeddings):
     assert lsh_bits_for_corpus(100, 1024) == 4
 
 
+def test_embedding_near_dup_banded_auto_bits(spark, embeddings):
+    """bits_per_band='auto' (the default) applies the corpus-sizing rule
+    inside the operator — recall on planted exact dups is unaffected."""
+    dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 700_000)
+    both = embeddings.limit(100).unionByName(dup)
+    pairs = embedding_near_dup_pairs_banded(both, threshold=0.999999)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 700_000) for i in range(5)} <= found
+    import pytest
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs_banded(both, bits_per_band="huge")
+
+
 def test_embedding_near_dup_with_block(spark, embeddings):
     dup = embeddings.limit(5).withColumn("vec_id", F.col("vec_id") + 700_000)
     both = embeddings.limit(100).unionByName(dup)
