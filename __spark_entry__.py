@@ -83,6 +83,7 @@ from ethereum_etl_spark.plans.entities import (
 from ethereum_etl_spark.plans.knowledge_graph import (
     KnowledgeGraphTables,
     export_knowledge_graph,
+    stream_wallet_state,
     wallet_map_view,
 )
 from ethereum_etl_spark.plans.merge import MergeTable
@@ -1237,6 +1238,45 @@ def q_knowledge_graph_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "address", "token_address", "balance", "at_block_number"
     )
 
+def q_knowledge_graph_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa parity for the flagship cycle: the SAME multiplexed synthetic
+    log stream as ``knowledge_graph_cycle``, but the wallet state is
+    produced by the Structured-Streaming stateful path —
+    applyInPandasWithState cumulative balances (uint256-exact string state)
+    over file-source micro-batches, foreachBatch idempotent merges — and is
+    value-checked against the SAME DuckDB regeneration as the batch cycle."""
+    _utc(spark)
+    ev = _tp(spark, sf_dir, "events")
+    raw_logs = _synth_transfer_logs(ev).unionByName(_synth_event_logs(ev))
+    tf_typed = extract_token_transfers(raw_logs).withColumn(
+        "value", F.col("value").cast("decimal(38,0)")
+    )
+    deltas = transfers_to_deltas(tf_typed).select(
+        "address",
+        "token_address",
+        F.col("delta").cast("decimal(38,0)").cast("string").alias("delta"),
+        "block_number",
+    )
+    deltas_dir = scratch.scratch_dir("kgs_deltas_")
+    # ~6 range files -> 3 micro-batches at maxFilesPerTrigger=2: the state
+    # store genuinely carries balances across batches
+    deltas.repartitionByRange(6, "block_number").write.mode("overwrite").parquet(deltas_dir)
+    wallets = MergeTable(
+        spark,
+        scratch.scratch_dir("kgs_wallets_"),
+        merge_keys=["address", "token_address"],
+        order_col="at_block_number",
+        n_buckets=8,
+    )
+    stream_wallet_state(
+        spark, deltas_dir, wallets, scratch.scratch_dir("kgs_ckpt_"),
+        max_files_per_trigger=2,
+    )
+    return wallets.read().select(
+        "address", "token_address", "balance", "at_block_number"
+    )
+
+
 def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CDC slice: deterministic change log -> normalize -> idempotent
     bucketed MERGE -> final table state (re-running a range is a no-op)."""
@@ -1387,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_banded": q_embedding_near_dup_banded,
         "lsh_bucket_keys": q_lsh_bucket_keys,
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
+        "knowledge_graph_stream": q_knowledge_graph_stream,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -1405,6 +1446,9 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     # both flatten variants are checked against the SAME closed-form oracle
     out["trace_flatten_kernel"] = out["trace_flatten"]
+    # kappa parity: the streaming wallet state must equal the batch cycle's,
+    # so both are checked against the SAME DuckDB regeneration
+    out["knowledge_graph_stream"] = out["knowledge_graph_cycle"]
     return out
 
 

@@ -185,6 +185,60 @@ def export_knowledge_graph(
     return out
 
 
+def stream_wallet_state(
+    spark: SparkSession,
+    deltas_dir: str,
+    wallets: MergeTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Kappa counterpart of :func:`export_knowledge_graph`'s wallet
+    accumulate: the SAME final wallet state, produced by Structured
+    Streaming instead of batch read-modify-write.
+
+    Pipeline: file-source tail over the delta log (address, token_address,
+    delta STRING, block_number) → ``streaming_balances_exact``
+    (applyInPandasWithState — cross-micro-batch cumulative balances in the
+    state store, uint256-exact) → foreachBatch idempotent MERGE of each
+    batch's emissions into the wallets table. Restart-safe end to end: the
+    streaming checkpoint replays an interrupted micro-batch, and the
+    re-merge is a batch-id no-op (exactly-once effective, the same
+    guarantee as the batch Streamer).
+
+    Latest-wins works because a key's emitted ``last_block`` is monotone
+    (state keeps the max seen) and later snapshots win ties, so the final
+    merged row per key is its last — fully accumulated — emission.
+    """
+    from ethereum_etl_spark.streaming.stateful import streaming_balances_exact
+
+    deltas = (
+        spark.readStream.schema(
+            "address STRING, token_address STRING, delta STRING, block_number LONG"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(deltas_dir)
+    )
+    updates = streaming_balances_exact(deltas)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "address",
+            "token_address",
+            F.col("balance"),
+            F.col("last_block").alias("at_block_number"),
+        )
+        wallets.merge(batch, batch_id=f"kgs-{batch_id:012d}")
+
+    q = (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def wallet_map_view(tables: KnowledgeGraphTables) -> DataFrame:
     """The reference's wallet document shape: per-address {token: balance}
     map + at_block high-water mark (knowledge_graph_exporter.py:111-136),

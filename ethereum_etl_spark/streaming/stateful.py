@@ -68,6 +68,65 @@ def _make_update_fn(ttl_ms: int | None):
     return _update_balances
 
 
+EXACT_OUTPUT_SCHEMA = (
+    "address STRING, token_address STRING, balance STRING, "
+    "last_block BIGINT, n_events BIGINT"
+)
+EXACT_STATE_SCHEMA = "balance STRING, last_block BIGINT"
+
+
+def _make_exact_update_fn(ttl_ms: int | None):
+    def _update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        address, token = key
+        bal_str, last_block = state.get if state.exists else ("0", -1)
+        bal, n, max_block = int(bal_str), 0, int(last_block)
+        for pdf in pdfs:
+            bal += sum(int(d) for d in pdf["delta"])
+            n += len(pdf)
+            if len(pdf):
+                max_block = max(max_block, int(pdf["block_number"].max()))
+        state.update((str(bal), max_block))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "address": [address],
+                "token_address": [token],
+                "balance": [str(bal)],
+                "last_block": [max_block],
+                "n_events": [n],
+            }
+        )
+
+    return _update
+
+
+def streaming_balances_exact(deltas: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Exact-integer (uint256-safe) streaming balances: state and deltas are
+    decimal STRINGS folded with Python arbitrary-precision ints — the
+    variant the knowledge-graph wallet state needs (token values reach
+    2^256; DOUBLE state silently loses low bits above 2^53). Per-group
+    summation is Python-side over Arrow batches, exactly like the batch
+    path's uint256 escape hatch. Same GroupState contract as
+    :func:`streaming_balances`; emits the cumulative balance per touched
+    key per micro-batch."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return deltas.groupBy("address", "token_address").applyInPandasWithState(
+        _make_exact_update_fn(ttl_ms),
+        EXACT_OUTPUT_SCHEMA,
+        EXACT_STATE_SCHEMA,
+        "update",
+        timeout,
+    )
+
+
 def streaming_balances(deltas: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming deltas (address, token_address, delta, block_number) ->
     per-micro-batch balance updates with cross-batch state.

@@ -59,3 +59,36 @@ def test_state_accumulates_across_batches_and_restarts(spark, tmp_path):
     assert newest["0xc"]["old_balance"] == 0.0 and newest["0xc"]["new_balance"] == 1.0
     # untouched key '0xb' emits nothing in the new batch (update mode)
     assert "0xb" not in newest
+
+
+def test_exact_stream_wallet_state_kappa_parity(spark, tmp_path):
+    """stream_wallet_state (applyInPandasWithState, string-int state) folds
+    uint256-scale values exactly — beyond DOUBLE's 2^53 — and its final
+    merged table equals the plain batch aggregate (kappa parity)."""
+    from ethereum_etl_spark.plans.knowledge_graph import stream_wallet_state
+    from ethereum_etl_spark.plans.merge import MergeTable
+
+    big = 2**200  # far past float precision
+    rows = [
+        ("0xa", "0xt", str(big), 1),
+        ("0xa", "0xt", str(big + 1), 2),
+        ("0xa", "0xt", str(-3), 5),
+        ("0xb", "0xt", str(7), 2),
+    ]
+    src = str(tmp_path / "src")
+    sch = "address string, token_address string, delta string, block_number long"
+    # one file per row -> 4 micro-batches at maxFilesPerTrigger=1: state
+    # must carry the huge balance across batches
+    for r in rows:
+        spark.createDataFrame([r], sch).coalesce(1).write.mode("append").parquet(src)
+    wallets = MergeTable(
+        spark, str(tmp_path / "w"), merge_keys=["address", "token_address"],
+        order_col="at_block_number", n_buckets=4,
+    )
+    stream_wallet_state(spark, src, wallets, str(tmp_path / "ck"))
+    state = {
+        (r["address"], r["token_address"]): (r["balance"], r["at_block_number"])
+        for r in wallets.read().collect()
+    }
+    assert state[("0xa", "0xt")] == (str(big + big + 1 - 3), 5)
+    assert state[("0xb", "0xt")] == ("7", 2)
