@@ -12,10 +12,18 @@ locally:
     python -m ethereum_etl_spark.cli stream  --source /tmp/log --table /tmp/t \
         --checkpoint /tmp/ck [--lag 100] [--batch-size 100000] [--seconds 60]
     python -m ethereum_etl_spark.cli latest-state --table /tmp/t --out /tmp/latest
+    python -m ethereum_etl_spark.cli export-blocks --input /raw/blocks \
+        --out /tmp/blocks_csv [--format csv|jsonl] [--start-block N --end-block M]
+    (likewise export-transactions / export-receipts / export-logs /
+     export-tokens / export-traces / export-contracts)
 
 The reference's quick_run/build_knowledge_graph.py CLI flags map 1:1:
 --start-block/--lag/--period-seconds/--block-batch-size ->
---start/--lag/--poll-seconds/--batch-size (streamer.py:40-58).
+--start/--lag/--poll-seconds/--batch-size (streamer.py:40-58); the
+export-* subcommands are the `ethereumetl export_*` entry points this fork
+dropped from setup.py (reference setup.py:59-61), mapping each verbatim
+field-list exporter (plans/entities.py) to the CSV/JSONL sinks — input is
+the raw JSON-RPC-shaped parquet instead of a provider URI.
 """
 
 from __future__ import annotations
@@ -30,6 +38,52 @@ from ethereum_etl_spark.session import get_spark
 from ethereum_etl_spark.sources.datagen import write_repo_changes
 from ethereum_etl_spark.sources.tail import TailSource
 from ethereum_etl_spark.streaming.stream import Streamer
+
+
+_EXPORT_ENTITIES = (
+    "blocks", "transactions", "receipts", "logs", "tokens", "traces", "contracts"
+)
+
+
+def _export_entity(spark, args) -> dict:
+    """export-<entity>: raw parquet -> field-list projection -> CSV/JSONL."""
+    from pyspark.sql import functions as F
+
+    from ethereum_etl_spark.plans import entities as E
+    from ethereum_etl_spark.sinks.exporters import write_entity_csv, write_entity_jsonl
+
+    entity = args.cmd[len("export-"):]
+    raw = spark.read.parquet(args.input)
+    range_col = "block_number"
+    if entity == "blocks":
+        out, range_col = E.export_blocks(raw), "number"
+    elif entity == "transactions":
+        out = E.export_transactions(raw)
+    elif entity == "receipts":
+        out = E.export_receipts(raw)
+    elif entity == "logs":
+        out = E.export_logs(raw)
+    elif entity == "tokens":
+        out = E.export_tokens(raw)
+    elif entity == "traces":
+        from ethereum_etl_spark.operators.traces import flatten_geth_traces_structured
+
+        out = E.export_traces(flatten_geth_traces_structured(raw))
+    elif entity == "contracts":
+        from ethereum_etl_spark.operators.contracts import classify_contracts
+
+        out = E.export_contracts(classify_contracts(raw))
+    else:  # pragma: no cover - argparse restricts the choices
+        raise ValueError(entity)
+    if args.start_block is not None:
+        out = out.filter(F.col(range_col) >= args.start_block)
+    if args.end_block is not None:
+        out = out.filter(F.col(range_col) <= args.end_block)
+    if args.format == "csv":
+        write_entity_csv(out, args.out, single_file=args.single_file)
+    else:
+        write_entity_jsonl(out, args.out, single_file=args.single_file)
+    return {"entity": entity, "out": args.out, "format": args.format}
 
 
 def _table(spark, args) -> MergeTable:
@@ -80,6 +134,18 @@ def main(argv: list[str] | None = None) -> int:
     latest.add_argument("--out", required=True)
     latest.add_argument("--buckets", type=int, default=32)
 
+    for entity in _EXPORT_ENTITIES:
+        e = sub.add_parser(
+            f"export-{entity}",
+            help=f"project raw {entity} parquet to the reference field list",
+        )
+        e.add_argument("--input", required=True, help="raw JSON-RPC-shaped parquet dir")
+        e.add_argument("--out", required=True)
+        e.add_argument("--format", choices=["csv", "jsonl"], default="csv")
+        e.add_argument("--start-block", type=int, default=None)
+        e.add_argument("--end-block", type=int, default=None)
+        e.add_argument("--single-file", action="store_true")
+
     args = p.parse_args(argv)
     spark = get_spark("ethereum-etl-spark-cli", master=args.master)
 
@@ -107,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "latest-state":
         _table(spark, args).latest_state().write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
+    elif args.cmd.startswith("export-"):
+        print(json.dumps(_export_entity(spark, args)))
     return 0
 
 

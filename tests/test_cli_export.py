@@ -1,0 +1,91 @@
+"""export-* CLI subcommands: the `ethereumetl export_*` UX (reference
+setup.py:59-61 entry points) over raw parquet — golden CSV/JSONL outputs
+must match the oracle-checked exporter DataFrames byte-for-value."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from ethereum_etl_spark import cli  # noqa: E402
+from ethereum_etl_spark.plans.entities import export_blocks, export_logs  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stringified(df):
+    return {
+        tuple("" if v is None else str(v) for v in row)
+        for row in df.select([F.col(c).cast("string") for c in df.columns]).collect()
+    }
+
+
+def _csv_rows(spark, path, columns):
+    got = spark.read.option("header", "true").option("emptyValue", "").csv(path)
+    assert got.columns == columns  # header preserves the reference field order
+    return {
+        tuple("" if v is None else str(v) for v in row)
+        for row in got.collect()
+    }
+
+
+def test_export_blocks_cli_golden_csv(spark, tmp_path, capsys):
+    raw_dir = str(tmp_path / "raw_blocks")
+    entry._synth_raw_blocks(entry._tp(spark, SF_DIR, "events")).write.parquet(raw_dir)
+    out_dir = str(tmp_path / "blocks_csv")
+    rc = cli.main(
+        ["export-blocks", "--input", raw_dir, "--out", out_dir,
+         "--format", "csv", "--single-file"]
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status == {"entity": "blocks", "out": out_dir, "format": "csv"}
+    golden = export_blocks(spark.read.parquet(raw_dir))
+    assert _csv_rows(spark, out_dir, golden.columns) == _stringified(golden)
+
+
+def test_export_logs_cli_block_range_and_jsonl(spark, tmp_path, capsys):
+    ev = entry._tp(spark, SF_DIR, "events")
+    eid = F.col("event_id")
+    e = eid.cast("string")
+    bn = (eid / 10).cast("long")
+    raw = ev.select(
+        F.concat(F.lit("0x"), F.conv((eid % 1000).cast("string"), 10, 16)).alias("logIndex"),
+        F.concat(F.lit("0x"), F.md5(F.concat(F.lit("txh:"), e))).alias("transactionHash"),
+        F.lit("0x1").alias("transactionIndex"),
+        F.concat(F.lit("0x"), F.md5(bn.cast("string"))).alias("blockHash"),
+        F.concat(F.lit("0x"), F.conv(bn.cast("string"), 10, 16)).alias("blockNumber"),
+        F.upper(F.concat(F.lit("0xAB"), F.repeat(F.lit("0"), 38))).alias("address"),
+        F.lit("0xdd").alias("data"),
+        F.array(F.lit("0xt0"), F.concat(F.lit("0xt1-"), e)).alias("topics"),
+    )
+    raw_dir = str(tmp_path / "raw_logs")
+    raw.write.parquet(raw_dir)
+
+    out_csv = str(tmp_path / "logs_csv")
+    rc = cli.main(
+        ["export-logs", "--input", raw_dir, "--out", out_csv, "--format", "csv",
+         "--start-block", "2", "--end-block", "4", "--single-file"]
+    )
+    assert rc == 0
+    golden = export_logs(spark.read.parquet(raw_dir)).filter(
+        F.col("block_number").between(2, 4)
+    )
+    # the CSV sink comma-joins the topics array, like the reference sink
+    golden_csv = golden.withColumn("topics", F.concat_ws(",", "topics"))
+    assert _csv_rows(spark, out_csv, golden.columns) == _stringified(golden_csv)
+    n_range = golden.count()
+    assert 0 < n_range < export_logs(spark.read.parquet(raw_dir)).count()
+
+    out_json = str(tmp_path / "logs_jsonl")
+    rc = cli.main(["export-logs", "--input", raw_dir, "--out", out_json,
+                   "--format", "jsonl"])
+    assert rc == 0
+    back = spark.read.json(out_json)
+    assert back.count() == export_logs(spark.read.parquet(raw_dir)).count()
+    # jsonl keeps topics as a real array
+    assert back.select(F.size("topics")).first()[0] == 2
