@@ -127,6 +127,40 @@ def main() -> None:
     mor_read_sec = time.time() - t0
     assert mor_rows == n_rows
 
+    # ---- MOR compaction under churn: a long micro-batch stream appends a
+    # delta file per touched bucket per merge; without compaction read-time
+    # winner resolution degrades linearly in merges. This entry marches 24
+    # sequential micro-batches through a MOR table (compact_threshold=6,
+    # auto_expire_keep=2 so superseded files are vacuumed) and samples the
+    # resolved-read latency every 6 batches — the trend must stay flat and
+    # the delta chain bounded by the threshold.
+    churn_root = _tmpdir(prefix="bench_churn_")
+    churn = MergeTable(
+        spark, churn_root, n_buckets=16, mode="mor",
+        compact_threshold=6, auto_expire_keep=2,
+    )
+    n_churn = 24
+    churn_batch = max(n_rows // 80, 10)
+    churn_reads: list[float] = []
+    max_chain = 0
+    t0 = time.time()
+    for i in range(n_churn):
+        start = i * churn_batch
+        replay_range(
+            spark, log_dir, churn, start, start + churn_batch - 1,
+            partition_size=None, batch_prefix=f"churn{i}",
+        )
+        snap = churn.current_snapshot()
+        max_chain = max(
+            max_chain, max((len(v) for v in snap["buckets"].values()), default=0)
+        )
+        if (i + 1) % 6 == 0:
+            tr = time.time()
+            churn.read().count()
+            churn_reads.append(round(time.time() - tr, 3))
+    churn_sec = time.time() - t0
+    churn_data_dirs = len(os.listdir(os.path.join(churn_root, "data")))
+
     # ---- salted merge-apply (north rule): bucket-capped regime, where the
     # winner sort's parallelism is capped at n_buckets unless key-salted —
     # 2 buckets stands in for the at-scale reality of TB-sized buckets
@@ -192,6 +226,15 @@ def main() -> None:
             "mor_merge_latency_avg_sec": round(mor_latency, 3),
             "mor_events_per_sec": round(n_rows / mor_sec, 1),
             "mor_resolved_read_sec": round(mor_read_sec, 3),
+            "mor_churn": {
+                "micro_batches": n_churn,
+                "events_per_batch": churn_batch,
+                "total_sec": round(churn_sec, 3),
+                "resolved_read_sec_every_6": churn_reads,
+                "max_delta_chain_files": max_chain,
+                "compact_threshold": churn.compact_threshold,
+                "data_dirs_after_expiry": churn_data_dirs,
+            },
             "salted_merge_demo": {
                 "events": n_rows,
                 "n_buckets": 2,
