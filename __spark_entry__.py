@@ -755,6 +755,17 @@ def q_trace_flatten_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_geth_traces(_synth_traces(spark, sf_dir)).select(*_TRACE_COLS)
 
 
+def q_trace_flatten_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-depth level-by-level string-loop variant (the
+    structured default's spill path), independently value-checked against
+    the same closed-form oracle — all three implementations of the P6
+    contract are oracled."""
+    _utc(spark)
+    from ethereum_etl_spark.operators.traces import flatten_geth_traces_relational
+
+    return flatten_geth_traces_relational(_synth_traces(spark, sf_dir)).select(*_TRACE_COLS)
+
+
 def _synth_contract_bytecode() -> F.Column:
     b0 = "0x" + "".join("63" + s[2:] for s in ERC20_REQUIRED) + "00" + "63deadbeef"
     b1 = "0x" + "63" + "6352211e" + "63" + "70a08231" + "00"
@@ -1401,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abi_event_decode": q_abi_event_decode,
         "trace_flatten": q_trace_flatten,
         "trace_flatten_kernel": q_trace_flatten_kernel,
+        "trace_flatten_relational": q_trace_flatten_relational,
         "contract_classify": q_contract_classify,
         "export_blocks": q_export_blocks,
         "export_transactions": q_export_transactions,
@@ -1444,8 +1456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
-    # both flatten variants are checked against the SAME closed-form oracle
+    # all three flatten variants are checked against the SAME closed-form oracle
     out["trace_flatten_kernel"] = out["trace_flatten"]
+    out["trace_flatten_relational"] = out["trace_flatten"]
     # kappa parity: the streaming wallet state must equal the batch cycle's,
     # so both are checked against the SAME DuckDB regeneration
     out["knowledge_graph_stream"] = out["knowledge_graph_cycle"]
