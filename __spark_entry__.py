@@ -1123,6 +1123,40 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM training-corpus preparation as ONE declarative DAG —
+    the composition the individual text/dedup operators exist for:
+    fingerprint dedup (keep the lowest doc_id per normalized fingerprint)
+    → quality gate (quality_score ≥ 0.75; nearest doc is 1.4e-4 from the
+    boundary after DECIMAL(18,6) quantization, so the gate is
+    cross-engine-stable) → per-predicted-language corpus stats (docs kept,
+    whitespace + BPE-ish token totals, exact-decimal quality sum).
+    One shuffle for the dedup group-by, one for the final rollup; the
+    fingerprint join is an equi-join on (fp, doc_id)."""
+    _utc(spark)
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents"))
+    fp = corpus.withColumn("fp", text_fingerprint(F.col("text")))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = fp.join(keep, ["fp", "doc_id"])
+    gated = survivors.withColumn(
+        "_q", quality_score(F.col("text")).cast("decimal(18,6)")
+    ).filter(F.col("_q") >= F.lit("0.75").cast("decimal(18,6)"))
+    return (
+        gated.withColumn("lang_pred", simple_lang_id(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens_ws"),
+            F.sum(bpe_ish_token_count(F.col("text"))).alias("total_tokens_bpe"),
+            F.sum("_q").alias("_sq"),
+        )
+        .select(
+            "lang_pred", "n_docs", "total_tokens_ws", "total_tokens_bpe",
+            F.col("_sq").cast("decimal(38,6)").cast("string").alias("total_quality"),
+        )
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _tp(spark, sf_dir, "documents")
@@ -1432,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1949,6 +1984,25 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
             s AS (SELECT doc_id, {lang_scores} FROM d)
             SELECT doc_id, {lang_case} AS lang_pred FROM s
+        """,
+        "corpus_prep_pipeline": f"""
+            WITH c AS ({_SQL_CORPUS}),
+            fp AS (SELECT doc_id, text, {fingerprint} AS fp FROM c),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+            surv AS (SELECT f.doc_id, f.text FROM fp f
+                     JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+            g AS (SELECT doc_id, text, CAST({quality} AS DECIMAL(18,6)) AS q
+                  FROM surv),
+            g2 AS (SELECT * FROM g WHERE q >= CAST(0.75 AS DECIMAL(18,6))),
+            lp AS (SELECT doc_id, text, q,
+                          ' ' || lower(text) || ' ' AS padded FROM g2),
+            s2 AS (SELECT doc_id, text, q, {lang_scores} FROM lp)
+            SELECT {lang_case} AS lang_pred,
+                   count(*)::BIGINT AS n_docs,
+                   SUM({tokens_ws})::BIGINT AS total_tokens_ws,
+                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
+                   CAST(CAST(SUM(q) AS DECIMAL(38,6)) AS VARCHAR) AS total_quality
+            FROM s2 GROUP BY 1
         """,
         "ann_topk_brute": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_simhash_hamming",
     "text_stats",
+    "corpus_prep_pipeline",
     "ann_topk_brute",
     "ann_topk_lsh",
     "embedding_near_dup_banded",
