@@ -338,6 +338,16 @@ def _sql_hexbyte(col: str, j: int) -> str:
     )
 
 
+# DuckDB replication of kmeans_fit's exact-decimal mean recompute
+# (dim=64: per-dimension quantized sums; mean = correctly-rounded double
+# of the exact sum / count — identical in any engine)
+_KM_SUMS = ", ".join(
+    f"SUM(CAST(embedding[{p}]::DOUBLE AS DECIMAL(18,6))) AS s{p}"
+    for p in range(1, 65)
+)
+_KM_MEANS = ", ".join(f"s{p}::DOUBLE / n" for p in range(1, 65))
+
+
 # DuckDB replication of the portable cosine (products quantized to
 # DECIMAL(18,6), exact decimal sums, double division)
 def _sql_cos(a: str, b: str) -> str:
@@ -1211,6 +1221,24 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative IVF centroid training (2 Lloyd iterations, k=4,
+    deterministic lowest-id init): per-dimension exact-decimal sums make
+    the means order-insensitive, so the full iterate-assign-recompute loop
+    is reproduced bit-for-bit by the DuckDB oracle — an iterative
+    algorithm under the value-check gate, not a rows-only exemption."""
+    _utc(spark)
+    from ethereum_etl_spark.operators.similarity import kmeans_fit
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, k=4, iters=2, score_fn=cosine_portable)
+    return assigned.select(
+        "vec_id",
+        "cell",
+        F.col("cos_sim").cast("decimal(18,6)").cast("string").alias("cos_sim"),
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
@@ -1468,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "ann_topk_brute": q_ann_topk_brute,
+        "kmeans_ivf_train": q_kmeans_ivf_train,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2003,6 +2032,44 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_tokens_bpe,
                    CAST(CAST(SUM(q) AS DECIMAL(38,6)) AS VARCHAR) AS total_quality
             FROM s2 GROUP BY 1
+        """,
+        "kmeans_ivf_train": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                          embedding AS c
+                   FROM e ORDER BY vec_id LIMIT 4),
+            a1 AS (SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos("e.embedding", "c.c")} DESC, c.cell) AS rn
+                FROM e, c0 c) WHERE rn = 1),
+            m1 AS (SELECT cell, count(*) AS n, {_KM_SUMS} FROM a1 GROUP BY cell),
+            c1 AS (SELECT c0.cell,
+                          CASE WHEN m1.n IS NULL
+                               THEN list_transform(c0.c, x -> x::DOUBLE)
+                               ELSE [{_KM_MEANS}] END AS c
+                   FROM c0 LEFT JOIN m1 USING (cell)),
+            a2 AS (SELECT vec_id, embedding, cell FROM (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_sql_cos("e.embedding", "c.c")} DESC, c.cell) AS rn
+                FROM e, c1 c) WHERE rn = 1),
+            m2 AS (SELECT cell, count(*) AS n, {_KM_SUMS} FROM a2 GROUP BY cell),
+            c2 AS (SELECT c0.cell,
+                          CASE WHEN m2.n IS NULL
+                               THEN (SELECT c FROM c1 WHERE c1.cell = c0.cell)
+                               ELSE [{_KM_MEANS}] END AS c
+                   FROM c0 LEFT JOIN m2 USING (cell))
+            SELECT e.vec_id, f.cell,
+                   CAST(CAST(f.cos AS DECIMAL(18,6)) AS VARCHAR) AS cos_sim
+            FROM e JOIN (
+                SELECT vec_id, cell, cos FROM (
+                    SELECT e2.vec_id, c.cell,
+                           {_sql_cos("e2.embedding", "c.c")} AS cos,
+                           row_number() OVER (PARTITION BY e2.vec_id
+                               ORDER BY {_sql_cos("e2.embedding", "c.c")} DESC, c.cell) AS rn
+                    FROM e e2, c2 c) WHERE rn = 1) f
+            ON e.vec_id = f.vec_id
         """,
         "ann_topk_brute": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -283,6 +283,90 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def assign_to_centroid_literals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine argmax) where the
+    centroids are DRIVER-side values (the k-means working set — k×dim
+    floats always fit the driver). One pass, no shuffle, no join: each
+    centroid becomes a literal array and the argmax is an ``array_max``
+    over (score, −cell) structs — ties deterministically pick the lowest
+    cell, matching a ``row_number() ... ORDER BY score DESC, cell`` oracle."""
+    score_fn = score_fn or _default_score
+    scored = F.array(
+        *[
+            F.struct(
+                score_fn(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])).alias("s"),
+                F.lit(-j).alias("nc"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["nc"]).cast("int").alias("cell"),
+        best["s"].alias("cos_sim"),
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Train IVF centroids with Lloyd iterations, Spark-first and
+    cross-engine-deterministic — the missing piece between ``ivf_topk``
+    (which takes centroids as given) and a raw corpus.
+
+    Per iteration: ONE broadcast-free assignment pass
+    (:func:`assign_to_centroid_literals`) and ONE groupBy("cell") with
+    per-dimension DECIMAL(18,6)-quantized sums (exact, order-insensitive —
+    double summation would be partition-order-dependent and break both
+    determinism and the oracle); means = correctly-rounded double of the
+    exact sum ÷ count, computed identically by any engine. Init =
+    the ``k`` lowest-id vectors (deterministic). Empty cells keep their
+    previous centroid. Driver traffic per iteration is k×(dim+1) values —
+    the classic scalable k-means shape (data never leaves the cluster,
+    centroids ride the closure).
+
+    Returns (final centroids, final assignment DataFrame with
+    (id, vec, cell, cos_sim)).
+    """
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(map(float, r[vec_col])) for r in init]
+    score_fn = score_fn or _default_score
+    for _ in range(iters):
+        assigned = assign_to_centroid_literals(corpus, centroids, id_col, vec_col, score_fn)
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col(vec_col), p).cast("double").cast("decimal(18,6)")
+                    ).alias(f"s{p}")
+                    for p in range(1, dim + 1)
+                ],
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty cells keep previous
+        for r in stats:
+            new_centroids[r["cell"]] = [float(r[f"s{p}"]) / r["n"] for p in range(1, dim + 1)]
+        centroids = new_centroids
+    return centroids, assign_to_centroid_literals(corpus, centroids, id_col, vec_col, score_fn)
+
+
 def lsh_bits_for_corpus(n_rows: int, target_bucket: int = 1024) -> int:
     """Sizing rule for sign-LSH sketch width: enough bits that the expected
     bucket holds ~``target_bucket`` vectors — the within-bucket pairwise

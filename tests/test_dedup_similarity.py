@@ -20,6 +20,7 @@ from ethereum_etl_spark.operators.similarity import (
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_banded,
     ivf_topk,
+    kmeans_fit,
     lsh_bits_for_corpus,
     lsh_topk,
 )
@@ -175,6 +176,34 @@ def test_embedding_near_dup_banded(spark, embeddings):
     # sizing rule: buckets of ~1k at 10^10 rows needs ~24 bits
     assert lsh_bits_for_corpus(10_000_000_000, 1024) == 24
     assert lsh_bits_for_corpus(100, 1024) == 4
+
+
+def test_kmeans_fit_separates_planted_clusters(spark):
+    """2 Lloyd iterations on two obvious direction-clusters: every member
+    lands in its cluster's cell, centroids move toward the cluster means,
+    and re-running is deterministic (exact-decimal sums, fixed init)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = kmeans_fit(df, k=2, iters=2)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    evens = {cells[i] for i in range(0, 40, 2)}
+    odds = {cells[i] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    # determinism: identical second run
+    cents2, assigned2 = kmeans_fit(df, k=2, iters=2)
+    assert cents == cents2
+    assert {tuple(r) for r in assigned.drop("embedding").collect()} == {
+        tuple(r) for r in assigned2.drop("embedding").collect()
+    }
+    # the even-cluster centroid points along dim 0
+    even_cell = evens.pop()
+    assert cents[even_cell][0] > 0.9 and abs(cents[even_cell][3]) < 0.1
 
 
 def test_embedding_near_dup_banded_auto_bits(spark, embeddings):
