@@ -1133,6 +1133,41 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAM: Structured Streaming ``dropDuplicates`` over
+    document fingerprints, state carried across micro-batches in the state
+    store — at 100 TB this is how a training corpus dedups incrementally
+    against everything already ingested instead of re-scanning history.
+    Output is the SET of distinct fingerprints (order-independent, so the
+    file-arrival order cannot perturb the value-check); equals the batch
+    ``SELECT DISTINCT fingerprint`` by construction (kappa parity)."""
+    _utc(spark)
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
+    src = scratch.scratch_dir("sdedup_src_")
+    corpus.repartition(6).write.mode("overwrite").parquet(src)
+    out_dir = scratch.scratch_dir("sdedup_out_")
+    ckpt = scratch.scratch_dir("sdedup_ckpt_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    fps = stream.select(text_fingerprint(F.col("text")).alias("fp")).dropDuplicates(["fp"])
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        fps.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("fp string").parquet(out_dir)
+
+
 def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM training-corpus preparation as ONE declarative DAG —
     the composition the individual text/dedup operators exist for:
@@ -1495,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "streaming_dedup": q_streaming_dedup,
         "ann_topk_brute": q_ann_topk_brute,
         "kmeans_ivf_train": q_kmeans_ivf_train,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -2013,6 +2049,9 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
             s AS (SELECT doc_id, {lang_scores} FROM d)
             SELECT doc_id, {lang_case} AS lang_pred FROM s
+        """,
+        "streaming_dedup": f"""
+            SELECT DISTINCT {fingerprint} AS fp FROM ({_SQL_CORPUS})
         """,
         "corpus_prep_pipeline": f"""
             WITH c AS ({_SQL_CORPUS}),

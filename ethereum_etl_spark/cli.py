@@ -134,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     latest.add_argument("--out", required=True)
     latest.add_argument("--buckets", type=int, default=32)
 
+    vac = sub.add_parser(
+        "vacuum", help="expire old snapshots; delete unreferenced data dirs"
+    )
+    vac.add_argument("--table", required=True)
+    vac.add_argument("--keep-last", type=int, default=2)
+    vac.add_argument("--buckets", type=int, default=32)
+
     for entity in _EXPORT_ENTITIES:
         e = sub.add_parser(
             f"export-{entity}",
@@ -173,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "latest-state":
         _table(spark, args).latest_state().write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
+    elif args.cmd == "vacuum":
+        stats = _table(spark, args).expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps(stats))
     elif args.cmd.startswith("export-"):
         print(json.dumps(_export_entity(spark, args)))
     return 0

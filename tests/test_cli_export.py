@@ -89,3 +89,24 @@ def test_export_logs_cli_block_range_and_jsonl(spark, tmp_path, capsys):
     assert back.count() == export_logs(spark.read.parquet(raw_dir)).count()
     # jsonl keeps topics as a real array
     assert back.select(F.size("topics")).first()[0] == 2
+
+
+def test_vacuum_cli(spark, tmp_path, capsys):
+    from ethereum_etl_spark.plans.merge import MergeTable
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root, n_buckets=4)
+    for i in range(4):
+        batch = spark.range(20).select(
+            F.concat(F.lit("r"), (F.col("id") % 4).cast("string")).alias("repo"),
+            F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+            F.lit(f"c{i}").alias("commit"),
+            (F.col("id") + i * 100).alias("seq"),
+        )
+        t.merge(batch, f"b{i}")
+    rc = cli.main(["vacuum", "--table", root, "--keep-last", "1"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["snapshots_removed"] == 3 and stats["dirs_removed"] > 0
+    assert os.listdir(os.path.join(root, "data")) == ["s000003"]
+    assert t.read().count() == 80  # 4 distinct commits x 20 paths, all live
