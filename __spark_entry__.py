@@ -88,7 +88,11 @@ from ethereum_etl_spark.plans.knowledge_graph import (
 )
 from ethereum_etl_spark.plans.merge import MergeTable
 from ethereum_etl_spark.plans.normalize import normalize_changes
-from ethereum_etl_spark.plans.replay import replay_range
+from ethereum_etl_spark.plans.replay import (
+    find_divergence_seq,
+    reexport_range,
+    replay_range,
+)
 from ethereum_etl_spark.sources.datagen import generate_repo_changes
 from ethereum_etl_spark.sources.tail import TailSource
 from ethereum_etl_spark.streaming.stream import Streamer
@@ -1401,6 +1405,37 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reorg_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorg-aware re-export (north-star: "reorg-aware re-export";
+    streamer.py:110-111): ingest a pre-reorg view whose tail [3500, 4000)
+    carries orphaned events (same seq slots, different content — a second
+    deterministic seed), locate the fork declaratively via the per-row
+    sha256 invariant, re-export the settled canonical tail, and return the
+    final state — which must equal the canonical log bit-for-bit (the same
+    oracle family as cdc_replay_final_state). Keyed by seq (the chain-slot
+    model): a re-exported slot shadows its orphan via latest-snapshot
+    resolution, no delete path needed."""
+    _utc(spark)
+    n, fork = 4000, 3500
+    canonical = generate_repo_changes(spark, n, seed=17, partitions=8)
+    orphan_tail = generate_repo_changes(
+        spark, n - fork, seed=1717, start_seq=fork, partitions=4
+    )
+    root = scratch.scratch_dir("cdc_reorg_")
+    table = MergeTable(spark, root, merge_keys=["seq"], n_buckets=8)
+    # phase 1: the node's pre-reorg view — canonical prefix + orphaned tail
+    replay_range(spark, canonical, table, 0, fork - 1, partition_size=2000)
+    replay_range(spark, orphan_tail, table, fork, n - 1, batch_prefix="orphan")
+    # phase 2: the chain settled on the canonical branch — find the fork
+    # (bounded probe over the lag window) and re-export from it
+    fork_seq = find_divergence_seq(table, canonical, probe_from=3000)
+    assert fork_seq == fork, f"divergence detector found {fork_seq}, expected {fork}"
+    reexport_range(spark, canonical, table, fork_seq, n - 1)
+    return table.read().drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
+
+
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-file-content view: latest commit per (repo, path) — the
     MergeTable.latest_state window over the replayed table, value-checked
@@ -1541,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
         "knowledge_graph_stream": q_knowledge_graph_stream,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_stream_resume": q_cdc_stream_resume,
@@ -2212,6 +2248,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # (datagen -> normalize -> idempotent merge -> snapshot read)
         "cdc_replay_final_state": _sql_normalized_changes(seed=7, n=5000),
         "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
+        # the reorged table converges to exactly the canonical log —
+        # same regeneration family as cdc_replay_final_state
+        "reorg_reexport": _sql_normalized_changes(seed=17, n=4000),
         "cdc_latest_state": f"""
             SELECT repo, path, commit, seq, sha256 FROM (
                 SELECT repo, path, commit, seq, sha256, row_number() OVER (

@@ -66,6 +66,65 @@ def replay_range(
     return out
 
 
+def find_divergence_seq(
+    table: MergeTable,
+    changes: DataFrame,
+    probe_from: int = 0,
+) -> int | None:
+    """First seq where the committed state disagrees with the canonical
+    change log — the reorg point.
+
+    The reference avoids most reorgs with a head lag (streamer.py:110-111)
+    and relies on restart re-export for the rest; it never *locates* the
+    fork. Here the per-row sha256 invariant (BASELINE.json: "content sha256
+    equality") makes detection declarative: equi-join committed rows to the
+    canonical log on the seq slot, keep rows whose sha256 disagrees, take
+    min(seq). One shuffle on seq, a single-row aggregate back to the driver
+    — scale-safe at 10^10 rows (``probe_from`` bounds the scan to the
+    suspect tail; the seq predicate is pushed into both scans).
+
+    Returns None when the committed state matches the log everywhere.
+    """
+    committed = table.read().filter(F.col("seq") >= probe_from).select(
+        "seq", F.col("sha256").alias("_committed_sha")
+    )
+    canonical = normalize_changes(
+        changes.filter(F.col("seq") >= probe_from), with_decimal_value=False
+    ).select("seq", "sha256")
+    row = (
+        canonical.join(committed, "seq", "inner")
+        .filter(F.col("sha256") != F.col("_committed_sha"))
+        .agg(F.min("seq").alias("fork_seq"))
+        .collect()[0]
+    )
+    return row["fork_seq"]
+
+
+def reexport_range(
+    spark: SparkSession,
+    source: str | DataFrame,
+    table: MergeTable,
+    start_seq: int,
+    end_seq: int,
+    partition_size: int | None = None,
+) -> list[MergeMetrics]:
+    """Reorg-aware re-export: replay [start_seq, end_seq] from the canonical
+    log over whatever the table currently holds for those slots.
+
+    Convergence needs no delete path: MergeTable resolves equal-``order_col``
+    collisions to the latest snapshot (merge.py §2 "__snap desc"), so a
+    re-exported slot shadows its orphaned predecessor — the reference's
+    restart-re-export semantic (streamer.py: resume re-exports from
+    last_synced_block) made explicit. A distinct batch prefix keeps the
+    batch-id idempotence ledger from skipping ranges the orphaned ingest
+    already claimed.
+    """
+    return replay_range(
+        spark, source, table, start_seq, end_seq,
+        partition_size=partition_size, batch_prefix="reexport",
+    )
+
+
 def replay_throughput(metrics: list[MergeMetrics]) -> dict:
     """Aggregate lineage into the headline numbers (events/sec, merge latency)."""
     total_rows = sum(m.rows_in for m in metrics)
