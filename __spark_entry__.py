@@ -45,6 +45,7 @@ from ethereum_etl_spark.operators.balances import (
 )
 from ethereum_etl_spark.operators.contracts import ERC20_REQUIRED, classify_contracts
 from ethereum_etl_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -1099,6 +1100,19 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: MinHash near-dup *pairs* collapsed into
+    *clusters* via distributed connected components (min-label propagation
+    with pointer jumping) — the step that turns edge lists into one
+    canonical survivor per duplicate group (A~B, B~C keeps only min id)."""
+    _utc(spark)
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n_hashes=16, bands=4, k=8, threshold=0.5
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
@@ -1559,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -2027,6 +2042,29 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_key = b.band_key AND a.id < b.id
             WHERE {jacc} >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            c AS ({_SQL_CORPUS}),
+            base AS (SELECT doc_id AS id, {shingles} AS shingles FROM c),
+            sigs AS (SELECT id, shingles, [{sig_elems}] AS sig
+                     FROM (SELECT id, shingles, {digs} AS digs FROM base)),
+            banded AS (SELECT id, shingles, unnest([{band_keys}]) AS band_key FROM sigs),
+            pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                      FROM banded a JOIN banded b
+                        ON a.band_key = b.band_key AND a.id < b.id
+                      WHERE {jacc} >= 0.5),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(id, comp) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+            ),
+            lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+            SELECT l.id AS doc_id, l.comp AS cluster_id, n.cluster_size
+            FROM lab l JOIN (SELECT comp, count(*)::BIGINT AS cluster_size
+                             FROM lab GROUP BY comp) n USING (comp)
         """,
         "dedup_simhash": f"""
             WITH c AS ({_SQL_CORPUS}),

@@ -435,3 +435,103 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------- connected components (cluster collapse) ----------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Collapse a near-dup pair list into clusters: (id, comp) where ``comp``
+    is the minimum node id reachable from ``id`` (the canonical survivor).
+
+    This is the missing last step of every pair-producing dedup strategy
+    above: MinHash/SimHash/n-gram emit *edges*; keeping one survivor per
+    *cluster* needs the transitive closure (A~B, B~C => drop two of three,
+    not one of each pair independently).
+
+    Algorithm: min-label propagation with pointer jumping (path halving).
+    Each round
+      1. pulls the min neighbour label across the symmetrized edge list
+         (equi-join on the node id + groupBy min — slim (id, comp) rows
+         only, never payloads), then
+      2. jumps ``comp -> comp(comp)`` (a self-join of the label table),
+    which makes chains collapse in O(log n) rounds instead of O(diameter)
+    (Kiveris et al., "Connected Components in MapReduce and Beyond" use the
+    same two-phase min-propagation idea; near-dup graphs additionally have
+    tiny diameters because LSH emits most intra-cluster pairs directly).
+
+    Scale notes (10^10 nodes): per round the only shuffles are equi-joins /
+    groupBy on the node id — high-cardinality keys, AQE-friendly; labels are
+    ``localCheckpoint``ed every round so the plan/lineage stays O(1) deep
+    (on a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` for fault tolerance; local mode has no reliable store).
+    Convergence is detected with a single count on the slim label table.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("id").alias("v"), F.col("comp").alias("vcomp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbr"))
+        )
+        stepped = labels.join(nbr, labels["id"] == nbr["u"], "left").select(
+            "id", F.least("comp", F.coalesce("nbr", "comp")).alias("comp")
+        )
+        # pointer jump: comp <- comp(comp). comp is always an existing node
+        # id (a min over observed ids), so the left join always matches.
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("jump")
+                ).alias("b"),
+                "comp",
+                "left",
+            )
+            .select("id", F.coalesce("jump", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every doc appearing in a
+    near-dup pair; ``cluster_id`` is the min doc id of the cluster — the
+    canonical survivor (keep rows where doc_id == cluster_id, drop the rest).
+    """
+    labels = connected_components(pairs, src, dst, max_iter)
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -226,3 +226,52 @@ def test_embedding_near_dup_with_block(spark, embeddings):
     pairs = embedding_near_dup_pairs(both, threshold=0.999999, block_col="label")
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, i + 700_000) for i in range(5)} <= found
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (one component, min=1), pair 10-11, singleton edge 20-21,
+    # plus a triangle 30-31-32 — all collapse to their min id.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (30, 31), (31, 32), (30, 32)],
+        "id_a long, id_b long",
+    )
+    from ethereum_etl_spark.operators.dedup import connected_components
+
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    # a 40-node chain needs ~diameter rounds under naive propagation;
+    # pointer jumping must converge well inside max_iter=12.
+    from ethereum_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=12)
+    assert got.select(F.countDistinct("comp")).first()[0] == 1
+    assert got.agg(F.min("comp")).first()[0] == 0
+    assert got.count() == 41
+
+
+def test_dedup_clusters_survivor_semantics(spark, docs):
+    # pairs -> clusters: every cluster has exactly one survivor
+    # (doc_id == cluster_id) and cluster_size matches the member count.
+    from ethereum_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, bands=4, k=8,
+                              threshold=0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b")).cache()
+    n_clusters = clusters.select(F.countDistinct("cluster_id")).first()[0]
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id")).count()
+    assert survivors == n_clusters > 0
+    sizes_ok = (
+        clusters.groupBy("cluster_id", "cluster_size")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") != F.col("cluster_size"))
+        .count()
+    )
+    assert sizes_ok == 0
+    clusters.unpersist()
