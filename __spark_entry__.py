@@ -53,6 +53,7 @@ from ethereum_etl_spark.operators.dedup import (
     simhash_hamming_pairs,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
+from ethereum_etl_spark.operators.sessions import session_stats
 from ethereum_etl_spark.operators.lending import vtoken_positions
 from ethereum_etl_spark.operators.multimodal import (
     extract_image_features,
@@ -600,6 +601,21 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(F.count("*").alias("n"), F.sum(_d2(F.col("value"))).alias("_t"))
         .select("day", "event_type", "n", _dstr(F.col("_t")).alias("total"))
+    )
+
+
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4 h gap): per-user event bursts with exact
+    integer-micros boundaries and a decimal-exact value total. One shuffle
+    (user_id) feeds both window passes and the rollup."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev,
+        "user_id",
+        "ts",
+        gap_seconds=14400,
+        agg_cols=[_dstr(F.sum(_d2(F.col("value")))).alias("total")],
     )
 
 
@@ -1548,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_value_asof": q_prev_value_asof,
         "salted_user_totals": q_salted_user_totals,
         "daily_rollup": q_daily_rollup,
+        "event_sessionize": q_event_sessionize,
         "windowed_event_rollup": q_windowed_event_rollup,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "seq_range_by_day": q_seq_range_by_day,
@@ -1739,6 +1756,31 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
                    {_sql_dstr("SUM(CAST(value AS DECIMAL(8,2)))")} AS total
             FROM events GROUP BY 1, 2
+        """,
+        "event_sessionize": f"""
+            WITH b AS (
+                SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
+                       CAST(value AS DECIMAL(8,2)) AS v
+                FROM events
+            ),
+            m AS (
+                SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w > 14400000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )::BIGINT AS session_seq
+                FROM m
+            )
+            SELECT user_id, session_seq, min(ts_us) AS start_us,
+                   max(ts_us) AS end_us, count(*)::BIGINT AS n_events,
+                   {_sql_dstr("SUM(v)")} AS total
+            FROM s GROUP BY user_id, session_seq
         """,
         "windowed_event_rollup": f"""
             SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS window_id, event_type,
