@@ -651,6 +651,31 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window rollup (built-in F.session_window + watermark,
+    streaming/windowed.py) on its batch path — the streaming counterpart of
+    event_sessionize. The emitted window end is last_ts + gap, so end_us
+    recovers the last event time as win.end − gap; session_window starts a
+    new session at diff >= gap (vs the batch operator's strict >), which the
+    oracle mirrors."""
+    _utc(spark)
+    from ethereum_etl_spark.streaming.windowed import session_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_rollup(
+        ev, ts_col="ts", gap="4 hours", watermark_delay="10 minutes",
+        keys=("user_id",), value_col="value",
+    )
+    gap_us = 14400 * 1_000_000
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("session_end").cast("timestamp")) - F.lit(gap_us)).alias("end_us"),
+        F.col("n").alias("n_events"),
+        _dstr(F.col("total")).alias("total"),
+    )
+
+
 def q_seq_range_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 analog: timestamp->seq-range index via min/max aggregation — the
     declarative replacement for the reference's interpolation search
@@ -1565,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_user_totals": q_salted_user_totals,
         "daily_rollup": q_daily_rollup,
         "event_sessionize": q_event_sessionize,
+        "streaming_sessionize": q_streaming_sessionize,
         "windowed_event_rollup": q_windowed_event_rollup,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "seq_range_by_day": q_seq_range_by_day,
@@ -1780,6 +1806,30 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, session_seq, min(ts_us) AS start_us,
                    max(ts_us) AS end_us, count(*)::BIGINT AS n_events,
                    {_sql_dstr("SUM(v)")} AS total
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "streaming_sessionize": f"""
+            WITH b AS (
+                SELECT user_id, event_id, epoch_us(ts)::BIGINT AS ts_us,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+            ),
+            m AS (
+                SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w >= 14400000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+            ),
+            s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_seq
+                FROM m
+            )
+            SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   count(*)::BIGINT AS n_events, {_sql_dstr("SUM(v)")} AS total
             FROM s GROUP BY user_id, session_seq
         """,
         "windowed_event_rollup": f"""
