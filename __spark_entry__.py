@@ -52,6 +52,11 @@ from ethereum_etl_spark.operators.dedup import (
     simhash_dedup,
     simhash_hamming_pairs,
 )
+from ethereum_etl_spark.operators.corpus import (
+    hash_split,
+    remove_boilerplate_lines,
+    split_thresholds,
+)
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
 from ethereum_etl_spark.operators.sessions import session_stats
 from ethereum_etl_spark.operators.lending import vtoken_positions
@@ -1177,6 +1182,37 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(salt || key) first-8-hex
+    compared against precomputed hex thresholds — a pure projection (no
+    shuffle, no rand()), so rows never migrate across re-runs or growth."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-frequency line filter: drop lines occurring > 2 times
+    corpus-wide, rebuild docs from surviving lines in original order. The
+    corpus splits each doc into two half-lines and plants two boilerplate
+    footer lines on every 4th doc (~125 occurrences each -> dropped)."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    first = F.expr("substr(text, 1, cast(floor(length(text)/2) as int))")
+    second = F.expr("substr(text, cast(floor(length(text)/2) as int) + 1, length(text))")
+    b1 = F.lit("SUBSCRIBE TO OUR NEWSLETTER")
+    b2 = F.lit("COPYRIGHT 2024 EXAMPLE CORP")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(first, nl, b1, nl, second, nl, b2),
+        ).otherwise(F.concat(first, nl, second)).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, "doc_id", "text", max_occurrences=2)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _tp(spark, sf_dir, "documents")
@@ -1617,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_split": q_corpus_split,
+        "boilerplate_removal": q_boilerplate_removal,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -2134,6 +2172,41 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_key = b.band_key AND a.id < b.id
             WHERE {jacc} >= 0.5
+        """,
+        "corpus_split": (lambda th: f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) <= '{th[0][1]}' THEN '{th[0][0]}'
+                        WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) <= '{th[1][1]}' THEN '{th[1][0]}'
+                        ELSE '{th[2][0]}' END AS split
+            FROM documents
+        """)(split_thresholds({"train": 0.90, "val": 0.05, "test": 0.05})),
+        "boilerplate_removal": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN f || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+                                   || chr(10) || s || chr(10) || 'COPYRIGHT 2024 EXAMPLE CORP'
+                            ELSE f || chr(10) || s END AS text
+                FROM (SELECT doc_id,
+                             substr(text, 1, (length(text) // 2)::INT) AS f,
+                             substr(text, (length(text) // 2)::INT + 1, length(text)) AS s
+                      FROM documents)
+            ),
+            l AS (
+                SELECT doc_id,
+                       unnest(list_transform(lines, (x, i) -> i - 1)) AS pos,
+                       unnest(lines) AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM b)
+            ),
+            c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
+            k AS (SELECT l.doc_id, l.pos, l.line, c.n <= 2 AS keep
+                  FROM l JOIN c USING (line))
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS clean_text,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_lines_kept,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_lines_dropped
+            FROM k GROUP BY doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE

@@ -1,0 +1,126 @@
+"""Corpus-level preparation operators for training-data pipelines.
+
+Two primitives every large-scale dataset build needs on top of the dedup /
+quality family (operators/dedup.py, functions/text.py):
+
+- ``hash_split``: deterministic, stateless train/val/test assignment. The
+  split must be a pure function of the row key (never ``rand()``): it has
+  to survive re-runs, backfills, and corpus growth without rows migrating
+  between splits. We hash ``salt || key`` with md5 and compare the first 8
+  hex digits against precomputed hex thresholds — lexicographic comparison
+  of equal-length lowercase hex IS numeric comparison, so the assignment is
+  reproducible in any engine that has md5 (the DuckDB oracle uses the
+  identical expression). No shuffle at all: the split is a projection.
+
+- ``remove_boilerplate_lines``: C4-style corpus-frequency line filtering
+  (Raffel et al. 2020 drop lines seen >= 3 times in the corpus — menus,
+  cookie banners, copyright footers). Lines are exploded with their
+  position, counted corpus-wide, and documents are rebuilt from the
+  surviving lines in original order.
+
+Scale notes (100 TB): the line-count join is an equi-join on the line
+digest — a slim (digest, count) table against (doc, pos, digest) rows; at
+trillion-line scale the count side stays aggregated (one row per distinct
+line) and is typically small enough for a broadcast after the frequency
+filter. Rebuild is one groupBy(doc) with an array_sort on (pos, line) —
+collect_list order is non-deterministic across retries, the sort restores
+it. No Python, no UDFs — whole plan is codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # first 8 md5 hex digits
+
+
+def _hex8(x: int) -> str:
+    return format(min(max(x, 0), _HEX_SPACE - 1), "08x")
+
+
+def split_thresholds(weights: Mapping[str, float]) -> list[tuple[str, str]]:
+    """[(split_name, upper_hex_bound)] with cumulative bounds over the
+    8-hex-digit space; the last split absorbs rounding remainder."""
+    total = float(sum(weights.values()))
+    out, acc = [], 0.0
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, _hex8(int(acc * _HEX_SPACE))))
+    out[-1] = (out[-1][0], "f" * 8)
+    return out
+
+
+def hash_split_col(
+    key: Column, weights: Mapping[str, float], salt: str = "split"
+) -> Column:
+    """The split label as a column expression (pure projection)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), key.cast("string"))), 1, 8)
+    expr = None
+    for name, bound in split_thresholds(weights):
+        cond = h <= F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a deterministic ``split`` column keyed on ``key_col``.
+
+    Default 90/5/5 train/val/test. Changing ``salt`` re-rolls every
+    assignment; keeping it fixed guarantees a row never migrates, even when
+    the corpus is re-ingested or grows.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    return df.withColumn("split", hash_split_col(F.col(key_col), weights, salt))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop every line whose exact text occurs more than ``max_occurrences``
+    times across the whole corpus; rebuild each document from its surviving
+    lines in original order.
+
+    Returns (id_col, clean_text, n_lines_kept, n_lines_dropped). Documents
+    whose every line is boilerplate survive with ``clean_text = ''`` so the
+    caller decides whether to drop empties (a quality-gate concern).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(F.count("*").alias("_line_n"))
+    kept = lines.join(counts, "line").withColumn(
+        "_keep", F.col("_line_n") <= F.lit(max_occurrences)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "line"))
+                )
+            ).alias("_kept"),
+            F.sum(F.col("_keep").cast("long")).alias("n_lines_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_lines_dropped"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(sep, F.transform("_kept", lambda s: s["line"])).alias(
+                "clean_text"
+            ),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+    )
