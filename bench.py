@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_simhash_hamming",
+    "dedup_clusters",
+    "event_sessionize",
     "text_stats",
     "corpus_prep_pipeline",
     "ann_topk_brute",
