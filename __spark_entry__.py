@@ -1159,6 +1159,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs.select("id_a", "id_b"))
 
 
+def q_dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup composition: MinHash pairs -> connected
+    components -> anti-join the non-canonical members away, keeping the
+    min-id survivor of every cluster plus all unclustered docs. The clean
+    corpus is keyed by content sha256 for the value check."""
+    _utc(spark)
+    corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", n_hashes=16, bands=4, k=8, threshold=0.5
+    )
+    losers = (
+        dedup_clusters(pairs.select("id_a", "id_b"))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return corpus.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("sha256")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     corpus = _dedup_corpus(_tp(spark, sf_dir, "documents")).select("doc_id", "text")
@@ -1653,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivor_corpus": q_dedup_survivor_corpus,
         "corpus_split": q_corpus_split,
         "boilerplate_removal": q_boilerplate_removal,
         "dedup_simhash": q_dedup_simhash,
@@ -2230,6 +2251,29 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT l.id AS doc_id, l.comp AS cluster_id, n.cluster_size
             FROM lab l JOIN (SELECT comp, count(*)::BIGINT AS cluster_size
                              FROM lab GROUP BY comp) n USING (comp)
+        """,
+        "dedup_survivor_corpus": f"""
+            WITH RECURSIVE
+            c AS ({_SQL_CORPUS}),
+            base AS (SELECT doc_id AS id, {shingles} AS shingles FROM c),
+            sigs AS (SELECT id, shingles, [{sig_elems}] AS sig
+                     FROM (SELECT id, shingles, {digs} AS digs FROM base)),
+            banded AS (SELECT id, shingles, unnest([{band_keys}]) AS band_key FROM sigs),
+            pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                      FROM banded a JOIN banded b
+                        ON a.band_key = b.band_key AND a.id < b.id
+                      WHERE {jacc} >= 0.5),
+            sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(id, comp) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id
+            ),
+            lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+            SELECT c.doc_id, sha256(c.text) AS sha256
+            FROM c
+            WHERE c.doc_id NOT IN (SELECT id FROM lab WHERE id != comp)
         """,
         "dedup_simhash": f"""
             WITH c AS ({_SQL_CORPUS}),
