@@ -36,6 +36,7 @@ from ethereum_etl_spark.functions.text import (
     simple_lang_id,
     text_fingerprint,
     token_count,
+    vocab_topk,
     _LANG_HINTS,
 )
 from ethereum_etl_spark.operators.balances import (
@@ -1202,6 +1203,15 @@ def q_dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", _dstr(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-100 lowercase whitespace tokens by exact
+    count, lexicographic tie-break. TakeOrderedAndProject over the
+    aggregated vocab — the corpus itself is never globally sorted."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", k=100)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: md5(salt || key) first-8-hex
     compared against precomputed hex thresholds — a pure projection (no
@@ -1676,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivor_corpus": q_dedup_survivor_corpus,
         "corpus_split": q_corpus_split,
         "boilerplate_removal": q_boilerplate_removal,
+        "vocab_topk": q_vocab_topk,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -2201,6 +2212,14 @@ def _oracle_sql_base() -> dict[str, str]:
                         ELSE '{th[2][0]}' END AS split
             FROM documents
         """)(split_thresholds({"train": 0.90, "val": 0.05, "test": 0.05})),
+        "vocab_topk": """
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 100
+        """,
         "boilerplate_removal": """
             WITH b AS (
                 SELECT doc_id,

@@ -110,3 +110,30 @@ def text_fingerprint(col: Column) -> Column:
     document-fingerprint analog, cross-checkable as md5 in DuckDB)."""
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", ""), r"\s+", " "))
     return F.md5(norm)
+
+
+def vocab_topk(df, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary: the ``k`` most frequent lowercase whitespace
+    tokens with exact counts — the tokenizer-training / vocab-build
+    primitive. Ties break lexicographically so the result is deterministic
+    across engines and partitionings.
+
+    Scale notes (100 TB): explode happens map-side; the groupBy(token)
+    count is one shuffle with map-side partial aggregation (token
+    cardinality ~ vocab size, not corpus size); the global top-k is a
+    TakeOrderedAndProject over the aggregated vocab — no full sort of the
+    corpus, driver receives only k rows' worth per partition.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
