@@ -30,7 +30,12 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ethereum_etl_spark.functions.hex import hex_to_dec_native, split_to_words, word_to_address
+from ethereum_etl_spark.functions.hex import (
+    hex_to_dec_native,
+    split_to_words,
+    strip_0x,
+    word_to_address,
+)
 from ethereum_etl_spark.functions.keccak import event_topic0
 
 
@@ -102,11 +107,17 @@ def decode_events(logs: DataFrame, abi: EventAbi, topic0: str | None = None) -> 
         F.slice(F.col("topics"), 2, 1_000_000),  # drop topic0, keep indexed words
         split_to_words(F.col("data")),
     )
+    # Word-count guard as pure length arithmetic (|topics|-1 indexed words +
+    # floor(len(data)/64) data words) — keeps the higher-order transform()
+    # out of the filter predicate, which Spark 4.1.2's standalone FilterExec
+    # codegen miscompiles (silent interpreted fallback); see transfers.py.
+    bare_len = F.length(strip_0x(F.col("data")))
+    data_words = F.when(bare_len >= 64, F.floor(bare_len / 64)).otherwise(F.lit(0))
     df = (
         logs.filter(F.size("topics") > 0)
         .filter(F.element_at("topics", 1) == F.lit(t0))
+        .filter((F.size("topics") - 1 + data_words) == F.lit(len(params)))
         .withColumn("_words", words)
-        .filter(F.size("_words") == F.lit(len(params)))
     )
     cols = [
         F.lit(abi.name).alias("event_type"),

@@ -25,6 +25,7 @@ from ethereum_etl_spark.functions.hex import (
     TRANSFER_EVENT_TOPIC,
     hex_to_dec_native,
     split_to_words,
+    strip_0x,
     word_to_address,
 )
 
@@ -47,13 +48,22 @@ def extract_token_transfers(
     becomes a broadcast left-semi join — both avoid shuffling the fact side.
     """
     words = transfer_words(F.col("topics"), F.col("data"))
+    # F6 word-count guard as pure length arithmetic: |words| = |topics| +
+    # floor(len(data)/64). Keeping the higher-order transform() OUT of the
+    # filter predicate matters twice over: (a) Spark 4.1.2's standalone
+    # FilterExec predicate codegen miscompiles HOF subexpressions ("isNull_N
+    # is not an rvalue" -> silent interpreted fallback on every row), and
+    # (b) a plain length comparison stays pushdown-eligible. The word array
+    # itself is only evaluated in the projection, after the guard.
+    bare_len = F.length(strip_0x(F.col("data")))
+    data_words = F.when(bare_len >= 64, F.floor(bare_len / 64)).otherwise(F.lit(0))
     out = (
         logs
         # F1 topic filter + F6 malformed guards (empty topics; word count != 4)
         .filter(F.size("topics") > 0)
         .filter(F.element_at("topics", 1) == F.lit(TRANSFER_EVENT_TOPIC))
+        .filter((F.size("topics") + data_words) == 4)
         .withColumn("_words", words)
-        .filter(F.size("_words") == 4)
         .select(
             F.lower(F.col("address")).alias("token_address"),
             word_to_address(F.element_at("_words", 2)).alias("from_address"),
