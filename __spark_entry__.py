@@ -166,20 +166,37 @@ def _sql_hex_to_hugeint(hex_col: str, ndigits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _sql_repo_changes(seed: int, n: int) -> str:
+def _sql_repo_changes(
+    seed: int, n: int, with_ops: bool = False, delete_every: int = 17
+) -> str:
     """DuckDB regeneration of generate_repo_changes(seed, n): every datagen
     expression is exact integer/string arithmetic over md5, so the SQL
     produces the bit-identical table (incl. the embedded NUL rows — DuckDB
-    varchars carry chr(0) and sha256() hashes it)."""
+    varchars carry chr(0) and sha256() hashes it).
+
+    ``with_ops`` mirrors the binlog-ops mode: key columns derive from kseq
+    (the delete target's seq for tombstone rows), content from the row's
+    own seq, plus an ``op`` column."""
+    kq = "kseq" if with_ops else "seq"
     h_repo = _sql_hex_to_hugeint(
-        f"substr(md5('repo:{seed}:' || CAST(seq AS VARCHAR)),1,8)", 8
+        f"substr(md5('repo:{seed}:' || CAST({kq} AS VARCHAR)),1,8)", 8
     )
     h_path = _sql_hex_to_hugeint(
-        f"substr(md5('path:{seed}:' || CAST(seq AS VARCHAR)),1,8)", 8
+        f"substr(md5('path:{seed}:' || CAST({kq} AS VARCHAR)),1,8)", 8
     )
     langs = "['py','rs','go','js','java','c','md','sql']"
+    base = f"SELECT i AS seq FROM unnest(range(0, {n})) AS t(i)"
+    opc = ""
+    if with_ops:
+        is_del = f"seq % {delete_every} = {delete_every - 1}"
+        base = f"""SELECT seq,
+               CASE WHEN {is_del} THEN greatest(seq - 1 - (seq % 7), 0)
+                    ELSE seq END AS kseq,
+               CASE WHEN {is_del} THEN 'd' ELSE 'u' END AS op
+               FROM ({base})"""
+        opc = "op, "
     return f"""
-      SELECT seq, body,
+      SELECT seq, body, {opc}
              'repo-' || lpad(CAST(repo_id AS VARCHAR), 4, '0') AS repo,
              'src/' || lang || '/f' || lpad(CAST(path_id AS VARCHAR), 3, '0')
                 || '.' || lang AS path,
@@ -189,22 +206,22 @@ def _sql_repo_changes(seed: int, n: int) -> str:
                 CASE WHEN seq % 32 = 7 THEN chr(0) ELSE '' END ||
                 ' value=0x' || substr(body, 1, 24) || ' }}' || chr(10) AS content
       FROM (
-        SELECT seq, (h * h * h * 200) // {2 ** 96}::HUGEINT AS repo_id, path_id,
+        SELECT seq, {opc}(h * h * h * 200) // {2 ** 96}::HUGEINT AS repo_id, path_id,
                ({langs})[(((h * h * h * 200) // {2 ** 96}::HUGEINT + path_id) % 8)::INT + 1] AS lang,
-               md5('commit:{seed}:' || CAST(seq AS VARCHAR)) AS commit_h,
+               md5('commit:{seed}:' || CAST({kq} AS VARCHAR)) AS commit_h,
                md5('content:{seed}:' || CAST(seq AS VARCHAR)) AS body
         FROM (
-          SELECT seq, {h_repo} AS h, ({h_path}) % 50 AS path_id
-          FROM (SELECT i AS seq FROM unnest(range(0, {n})) AS t(i))))
+          SELECT seq, {opc + (kq + ", ") if with_ops else ""}{h_repo} AS h, ({h_path}) % 50 AS path_id
+          FROM ({base})))
     """
 
 
-def _sql_normalized_changes(seed: int, n: int) -> str:
+def _sql_normalized_changes(seed: int, n: int, with_ops: bool = False) -> str:
     """DuckDB regeneration of normalize_changes(generate_repo_changes(...)) —
     the full-replay final-state oracle (all merge keys are unique in the
     generated log, so the final table state IS the normalized set)."""
     return f"""
-      SELECT seq, repo, path, commit, lang,
+      SELECT {"op, " if with_ops else ""}seq, repo, path, commit, lang,
              replace(content, chr(0), '') AS content,
              sha256(content) AS sha256,
              length(replace(content, chr(0), ''))::BIGINT AS content_size,
@@ -213,7 +230,23 @@ def _sql_normalized_changes(seed: int, n: int) -> str:
              (seq // 86400)::BIGINT AS day_bucket,
              lpad(CAST(seq - seq % 1000 AS VARCHAR), 8, '0') AS part_label,
              CAST({_sql_hex_to_hugeint("substr(body, 1, 24)", 24)} AS VARCHAR) AS value_dec
-      FROM ({_sql_repo_changes(seed, n)})
+      FROM ({_sql_repo_changes(seed, n, with_ops=with_ops)})
+    """
+
+
+def _sql_delete_final_state(seed: int, n: int) -> str:
+    """Post-delete final state: latest row per merge key wins; keys whose
+    winner is a tombstone (op='d') are gone — the generic CDC DELETE
+    semantics the MergeTable delete_where read path implements."""
+    return f"""
+      SELECT op, seq, repo, path, commit, lang, content, sha256,
+             content_size, n_tokens, value_hex, day_bucket, part_label,
+             value_dec
+      FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY repo, path, commit ORDER BY seq DESC) AS rn
+        FROM ({_sql_normalized_changes(seed, n, with_ops=True)}))
+      WHERE rn = 1 AND op <> 'd'
     """
 
 
@@ -1526,6 +1559,31 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog-style CDC with DELETE ops (the WAL-tail semantic the chain
+    model lacks — reference scope is append-only, streamer.py:89-114):
+    every 17th change is a tombstone for an earlier key. Tombstones win
+    latest-wins resolution and persist in storage; read() hides them. The
+    late-replay pass re-merges pre-delete rows under a new batch_id —
+    deleted keys must stay dead (the persisted tombstone outranks them by
+    seq), which is exactly why tombstones are stored, not dropped, at
+    merge time."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=23, partitions=8, with_ops=True)
+    root = scratch.scratch_dir("cdc_delete_")
+    table = MergeTable(spark, root, n_buckets=8, delete_where="op = 'd'")
+    replay_range(spark, changes, table, 0, n - 1, partition_size=2500)
+    # late replay of the first half: tombstoned keys must NOT resurrect
+    replay_range(
+        spark, changes, table, 0, 2499, partition_size=2500,
+        batch_prefix="late",
+    )
+    return table.read().drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
+
+
 def q_reorg_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reorg-aware re-export (north-star: "reorg-aware re-export";
     streamer.py:110-111): ingest a pre-reorg view whose tail [3500, 4000)
@@ -1704,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_graph_cycle": q_knowledge_graph_cycle,
         "knowledge_graph_stream": q_knowledge_graph_stream,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_delete_replay": q_cdc_delete_replay,
         "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -2513,6 +2572,7 @@ def _oracle_sql_base() -> dict[str, str]:
         # table and the driver value-checks the ENTIRE engine path
         # (datagen -> normalize -> idempotent merge -> snapshot read)
         "cdc_replay_final_state": _sql_normalized_changes(seed=7, n=5000),
+        "cdc_delete_replay": _sql_delete_final_state(seed=23, n=5000),
         "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
         # the reorged table converges to exactly the canonical log —
         # same regeneration family as cdc_replay_final_state

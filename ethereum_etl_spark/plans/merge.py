@@ -101,6 +101,7 @@ class MergeTable:
         compact_threshold: int = 8,
         merge_salts: int = 1,
         auto_expire_keep: int | None = None,
+        delete_where: str | None = None,
     ):
         """``mode``:
 
@@ -126,6 +127,15 @@ class MergeTable:
         ``expire_snapshots(keep_last=auto_expire_keep)`` — the bounded-disk
         mode for long-running streams (a micro-batch stream otherwise
         accumulates one superseded copy of every touched bucket per merge).
+
+        ``delete_where``: a SQL boolean over the row marking it a CDC
+        DELETE (binlog/WAL ``op = 'd'`` semantics), e.g. ``"op = 'd'"``.
+        Tombstones take part in latest-wins resolution and are PERSISTED
+        (a late-replayed pre-delete row must still lose to the tombstone —
+        the reason Iceberg MOR keeps delete files); ``read()`` filters
+        them out of the visible state. The predicate is evaluated
+        null-safely, so pre-evolution rows without the op column (read as
+        NULL under additive schema evolution) are kept, not dropped.
         """
         if mode not in ("cow", "mor"):
             raise ValueError(mode)
@@ -142,6 +152,7 @@ class MergeTable:
         if auto_expire_keep is not None and auto_expire_keep < 1:
             raise ValueError("auto_expire_keep must be >= 1")
         self.auto_expire_keep = auto_expire_keep
+        self.delete_where = delete_where
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -288,11 +299,25 @@ class MergeTable:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         if _SNAP_COL not in df.columns:
-            return df  # legacy files
+            return self._drop_tombstones(df)  # legacy files
         if any(len(v) > 1 for v in wanted.values()):
             df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
             df = self._resolve_winners(df)
-        return df.drop(_SNAP_COL)
+        return self._drop_tombstones(df.drop(_SNAP_COL))
+
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        """Hide CDC-deleted rows from the visible state (see delete_where).
+        Runs AFTER winner resolution: only a key whose *latest* row is a
+        tombstone disappears. coalesce(False) keeps rows where the
+        predicate is NULL (pre-evolution files lacking the op column)."""
+        if self.delete_where is None:
+            return df
+        try:
+            return df.filter(~F.coalesce(F.expr(self.delete_where), F.lit(False)))
+        except Exception:
+            # no file carries the op column yet (pre-evolution table):
+            # nothing can be a tombstone
+            return df
 
     def touched_buckets(self, df: DataFrame) -> list[int]:
         """Bucket ids a batch's keys hash into (column-pruned aggregate)."""

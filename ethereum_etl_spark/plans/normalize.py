@@ -41,7 +41,9 @@ def normalize_changes(changes: DataFrame, with_decimal_value: bool = True) -> Da
                         export_knowledge_graph_needed_common.py:68-69)
     """
     value_hex = F.regexp_extract(F.col("content"), _HEX_VALUE_RE, 1)
+    passthrough = [F.col("op")] if "op" in changes.columns else []
     out = changes.select(
+        *passthrough,
         F.col("seq"),
         F.lower(F.col("repo")).alias("repo"),
         F.col("path"),

@@ -53,36 +53,56 @@ def generate_repo_changes(
     start_seq: int = 0,
     skew: float = 3.0,
     partitions: int | None = None,
+    with_ops: bool = False,
+    delete_every: int = 17,
 ) -> DataFrame:
     """Return a DataFrame of ``n_rows`` deterministic change events.
 
     ``start_seq`` lets callers generate disjoint (or deliberately
     overlapping, for replay-idempotence tests) seq ranges that are
     consistent with each other: row content depends only on (seed, seq).
+
+    ``with_ops`` adds a binlog-style ``op`` column (``'u'`` upsert /
+    ``'d'`` delete): every ``delete_every``-th row is a DELETE whose merge
+    key (repo, path, commit) is that of an earlier row — seq
+    ``s - 1 - (s % 7)`` — so the tombstone targets a key the log really
+    inserted. The delete rule is pure seq arithmetic, so an ANSI-SQL
+    engine regenerates the identical ops log and the final post-delete
+    table state stays value-checkable. Default output (``with_ops=False``)
+    is unchanged — the append-only chain model.
     """
     if skew != 3.0:
         raise ValueError("only the cubic skew (skew=3.0) is supported — it is "
                          "computed in exact integer arithmetic for oracle parity")
+    if with_ops and delete_every < 2:
+        raise ValueError("delete_every must be >= 2")
     rng = spark.range(start_seq, start_seq + n_rows, 1, partitions or None)
     seq = F.col("id")
+    # key columns derive from kseq: the row's own seq for upserts, the
+    # delete target's seq for tombstones (clamped at 0 for tiny start_seq)
+    if with_ops:
+        is_del = (seq % delete_every) == (delete_every - 1)
+        kseq = F.when(is_del, F.greatest(seq - 1 - (seq % 7), F.lit(0))).otherwise(seq)
+    else:
+        kseq = seq
 
     # Zipf-ish: u^3 concentrates mass near repo 0 (hot repos). Computed as
     # floor(h^3 * n_repos / 2^96) over exact DECIMAL(38,0) — bit-identical in
     # any engine (a float pow() here would flip floor boundaries across
     # libm implementations and break the SQL replay oracle)
-    h = _hash_u32(seq, "repo", seed).cast("decimal(38,0)")
+    h = _hash_u32(kseq, "repo", seed).cast("decimal(38,0)")
     num = h * h * h * F.lit(n_repos).cast("decimal(38,0)")
     den = F.lit(str(2 ** 96)).cast("decimal(38,0)")  # 2^96 exceeds long; go via string
     repo_id = ((num - F.pmod(num, den)) / den).cast("decimal(38,0)").cast("int")
     path_id = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"path:{seed}:"), seq.cast("string"))), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"path:{seed}:"), kseq.cast("string"))), 1, 8), 16, 10)
         .cast("long")
         % paths_per_repo
     )
     lang_id = (repo_id + path_id) % len(_LANGS)
     lang_expr = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (lang_id + 1).cast("int"))
 
-    commit_h = F.md5(F.concat(F.lit(f"commit:{seed}:"), seq.cast("string")))
+    commit_h = F.md5(F.concat(F.lit(f"commit:{seed}:"), kseq.cast("string")))
     commit = F.concat(commit_h, F.substring(F.md5(commit_h), 1, 8))  # 40 hex chars
 
     body = F.md5(F.concat(F.lit(f"content:{seed}:"), seq.cast("string")))
@@ -102,7 +122,7 @@ def generate_repo_changes(
         F.lit(" }\n"),
     )
 
-    return rng.select(
+    cols = [
         seq.alias("seq"),
         F.concat(F.lit("repo-"), F.format_string("%04d", repo_id)).alias("repo"),
         F.concat(
@@ -112,7 +132,10 @@ def generate_repo_changes(
         commit.alias("commit"),
         lang_expr.alias("lang"),
         content.alias("content"),
-    )
+    ]
+    if with_ops:
+        cols.append(F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"))
+    return rng.select(*cols)
 
 
 def write_repo_changes(
