@@ -31,8 +31,12 @@ from ethereum_etl_spark import scratch
 
 from ethereum_etl_spark.functions.hex import TRANSFER_EVENT_TOPIC
 from ethereum_etl_spark.functions.text import (
+    PII_PATTERNS,
     bpe_ish_token_count,
+    line_repetition,
+    pii_counts,
     quality_score,
+    scrub_pii,
     simple_lang_id,
     text_fingerprint,
     token_count,
@@ -54,9 +58,11 @@ from ethereum_etl_spark.operators.dedup import (
     simhash_hamming_pairs,
 )
 from ethereum_etl_spark.operators.corpus import (
+    contamination_check,
     hash_split,
     remove_boilerplate_lines,
     split_thresholds,
+    top_ngram_stats,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
 from ethereum_etl_spark.operators.sessions import session_stats
@@ -359,6 +365,39 @@ _SQL_CORPUS = """
     SELECT doc_id + 20000, text, lang, source, n_chars
     FROM documents WHERE doc_id % 7 = 0
 """
+
+# whitespace tokenization — the exact mirror of
+# F.filter(F.split(F.trim(F.lower(col)), r"\s+"), len > 0)
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " t -> length(t) > 0)"
+)
+
+# PII oracle — built by concatenation: the regex quantifiers ({1,3}) would
+# need brace-doubling inside an f-string
+_PII_RES = {name: pat for name, pat, _ in PII_PATTERNS}
+_SQL_PII_PLANT = (
+    "SELECT doc_id, text ||"
+    " CASE WHEN doc_id % 13 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END ||"
+    " CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok' ELSE '' END"
+    " AS text FROM documents"
+)
+_SQL_PII_SCRUB = (
+    "WITH planted AS (" + _SQL_PII_PLANT + ") SELECT doc_id,"
+    " len(regexp_extract_all(text, '" + _PII_RES["email"] + "'))::BIGINT AS email,"
+    " len(regexp_extract_all(text, '" + _PII_RES["ipv4"] + "'))::BIGINT AS ipv4,"
+    " len(regexp_extract_all(text, '" + _PII_RES["phone"] + "'))::BIGINT AS phone,"
+    " md5(regexp_replace(regexp_replace(regexp_replace(text,"
+    " '" + _PII_RES["email"] + "', '<EMAIL>', 'g'),"
+    " '" + _PII_RES["ipv4"] + "', '<IP>', 'g'),"
+    " '" + _PII_RES["phone"] + "', '<PHONE>', 'g')) AS scrub_md5"
+    " FROM planted"
+)
+
 
 def _sql_media_phex(n: int = 300) -> str:
     """DuckDB regeneration of synthesize_media(spark, n): media_id, kind,
@@ -1291,6 +1330,68 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (the dedup corpus, clones
+    included) sharing any word 5-gram with the 'test set' (every 31st raw
+    doc). Test grams collapse to one DISTINCT broadcast column; the train
+    side explodes map-side and never shuffles for the probe."""
+    _utc(spark)
+    train = _dedup_corpus(_tp(spark, sf_dir, "documents"))
+    test = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0)
+    return contamination_check(train, test, "doc_id", "text", n=5)
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: exact line-dup counts
+    (pure column ops, zero shuffle) joined with the top-bigram stats (one
+    slim (doc, gram) shuffle + struct-max argmax). All-integer output —
+    the fractions are a trivial divide downstream."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    rep = docs.select("doc_id", line_repetition(F.col("text")).alias("r")).select(
+        "doc_id", "r.n_lines", "r.n_distinct_lines", "r.chars_all", "r.chars_distinct"
+    )
+    top = top_ngram_stats(docs, "doc_id", "text", n=2)
+    return rep.join(top, "doc_id", "left").select(
+        "doc_id", "n_lines", "n_distinct_lines", "chars_all", "chars_distinct",
+        F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+        F.coalesce(F.col("top_gram_n"), F.lit(0)).alias("top_gram_n"),
+        F.coalesce(F.col("grams_total"), F.lit(0)).alias("grams_total"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: deterministic planted emails/IPs/phones over the
+    documents table, per-kind match counts on the raw text, then the
+    chained regexp scrub — output carries md5(scrubbed) so the oracle
+    value-checks the exact redacted text."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 13 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" from 10."), (did % 200).cast("string"),
+                            F.lit(".3."), (did % 250).cast("string"))).otherwise(F.lit("")),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.format_string("%04d", (did % 10000).cast("int")),
+                            F.lit(" ok"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return planted.select(
+        "doc_id",
+        pii_counts(t).alias("p"),
+        F.md5(scrub_pii(t)).alias("scrub_md5"),
+    ).select("doc_id", "p.email", "p.ipv4", "p.phone", "scrub_md5")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a STREAM: Structured Streaming ``dropDuplicates`` over
     document fingerprints, state carried across micro-batches in the state
@@ -1749,6 +1850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "text_stats": q_text_stats,
+        "contamination_check": q_contamination_check,
+        "quality_repetition": q_quality_repetition,
+        "pii_scrub": q_pii_scrub,
         "lang_id": q_lang_id,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "streaming_dedup": q_streaming_dedup,
@@ -2406,6 +2510,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(CAST({quality} AS DECIMAL(18,6)) AS VARCHAR) AS quality
             FROM documents
         """,
+        "contamination_check": f"""
+            WITH corpus AS ({_SQL_CORPUS}),
+            tok AS (SELECT doc_id, {_SQL_TOKS} AS t FROM corpus),
+            grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+                      FROM tok, unnest(range(1, len(t) - 3)) AS r(i)),
+            ttok AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 31 = 0),
+            tgrams AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+                       FROM ttok, unnest(range(1, len(t) - 3)) AS r(i))
+            SELECT doc_id, count(*)::BIGINT AS n_collisions
+            FROM grams JOIN tgrams USING (gram) GROUP BY doc_id
+        """,
+        "quality_repetition": f"""
+            WITH lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+            rep AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
+                           len(list_distinct(ls))::BIGINT AS n_distinct_lines,
+                           list_sum(list_transform(ls, x -> length(x)))::BIGINT AS chars_all,
+                           list_sum(list_transform(list_distinct(ls), x -> length(x)))::BIGINT AS chars_distinct
+                    FROM lines),
+            tok AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+            grams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+                      FROM tok, unnest(range(1, len(t))) AS r(i)),
+            per AS (SELECT doc_id, gram, count(*)::BIGINT AS gram_n
+                    FROM grams GROUP BY doc_id, gram),
+            tops AS (SELECT doc_id, gram, gram_n,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY gram_n DESC, gram DESC) AS rn,
+                            sum(gram_n) OVER (PARTITION BY doc_id)::BIGINT AS grams_total
+                     FROM per)
+            SELECT rep.doc_id, n_lines, n_distinct_lines, chars_all, chars_distinct,
+                   coalesce(gram, '') AS top_gram,
+                   coalesce(gram_n, 0)::BIGINT AS top_gram_n,
+                   coalesce(grams_total, 0)::BIGINT AS grams_total
+            FROM rep LEFT JOIN (SELECT * FROM tops WHERE rn = 1) tw USING (doc_id)
+        """,
+        "pii_scrub": _SQL_PII_SCRUB,
         "lang_id": f"""
             WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
             s AS (SELECT doc_id, {lang_scores} FROM d)

@@ -137,3 +137,58 @@ def vocab_topk(df, text_col: str = "text", k: int = 100):
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def line_repetition(col: Column, sep: str = "\n") -> Column:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), as one
+    pure-column struct of EXACT integer counts — fractions (duplicate-line
+    fraction, duplicate-line character fraction) are left to the caller so
+    the oracle can pin a decimal scale:
+
+      n_lines, n_distinct_lines, chars_all, chars_distinct
+
+    dup_line_frac      = 1 - n_distinct_lines / n_lines
+    dup_line_char_frac = 1 - chars_distinct / chars_all
+
+    Zero shuffles: fuses into whatever stage reads the rows.
+    """
+    lines = F.split(col, sep)
+    dl = F.array_distinct(lines)
+    zero = F.lit(0).cast("long")
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(dl).cast("long").alias("n_distinct_lines"),
+        F.aggregate(lines, zero, lambda acc, x: acc + F.length(x)).alias("chars_all"),
+        F.aggregate(dl, zero, lambda acc, x: acc + F.length(x)).alias("chars_distinct"),
+    )
+
+
+# conservative, RE2-compatible (no lookarounds) — identical semantics under
+# java.util.regex (Spark) and RE2 (DuckDB): ASCII \d, \b word boundaries
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}", "<PHONE>"),
+]
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (computed on the RAW text —
+    call before scrub_pii)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long").alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails, IPv4 addresses and international phone numbers with
+    typed placeholder tokens — the corpus-prep privacy pass. Order matters:
+    emails first (an email's domain must not be half-eaten by another
+    rule), then IPs, then phones."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -124,3 +124,82 @@ def remove_boilerplate_lines(
             "n_lines_dropped",
         )
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination scan: train documents sharing at least one
+    word ``n``-gram with ANY test document (the GPT-3/PaLM-style 13-gram
+    collision rule, here with configurable n).
+
+    Returns ``(id_col, n_collisions)`` — n_collisions = number of DISTINCT
+    train-doc n-grams that appear anywhere in the test set. Docs with no
+    collision are absent (left-anti the result to get the clean corpus).
+
+    Scale shape (100 TB train, benchmark-sized test): the test side
+    collapses to one slim DISTINCT gram column and is explicitly broadcast
+    — the train side explodes its grams map-side and never shuffles for
+    the probe; only the matched (id, gram) rows enter the final per-doc
+    count, whose partial aggregation makes the shuffle proportional to
+    contaminated docs, not corpus size. For a test set too big to
+    broadcast, the same plan degrades gracefully to a shuffled equi-join
+    on the gram hash.
+    """
+    from ethereum_etl_spark.operators.dedup import word_ngrams
+
+    test_grams = (
+        test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(test_grams), "gram")
+        # word_ngrams is per-doc distinct, so count(*) counts distinct
+        # colliding grams
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document most-frequent word ``n``-gram WITH multiplicity — the
+    Gopher top-n-gram repetition signal (a doc whose top bigram covers a
+    large fraction of it is boilerplate/spam).
+
+    Returns ``(id_col, top_gram, top_gram_n, grams_total)``;
+    top_gram_frac = top_gram_n / grams_total. Ties break on the
+    lexicographically greatest gram (struct-max ordering), so the result
+    is deterministic across engines and partitionings.
+
+    Scale shape: one shuffle on (doc, gram) of slim rows with map-side
+    partial counts; the per-doc argmax is a struct-max aggregate — no
+    window, no second sort of the corpus.
+    """
+    from ethereum_etl_spark.operators.dedup import word_ngrams_all
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_all(F.col(text_col), n)).alias("gram")
+    )
+    per = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("gram_n"))
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("gram_n"), F.col("gram"))).alias("_m"),
+            F.sum("gram_n").alias("grams_total"),
+        )
+        .select(
+            id_col,
+            F.col("_m.gram").alias("top_gram"),
+            F.col("_m.gram_n").alias("top_gram_n"),
+            "grams_total",
+        )
+    )

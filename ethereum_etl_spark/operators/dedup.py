@@ -393,15 +393,24 @@ def simhash_hamming_pairs(
 
 # ---------------- n-gram jaccard ----------------
 
-def word_ngrams(col: Column, n: int = 2) -> Column:
+def word_ngrams_all(col: Column, n: int = 2) -> Column:
+    """All word n-grams WITH multiplicity (repetition metrics need counts).
+    Docs shorter than n tokens yield an empty array — the when() guard
+    matters: sequence(1, 0) would generate a DESCENDING [1, 0] and feed
+    slice() an illegal 0 start."""
     toks = F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: F.length(t) > 0)
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
         F.transform(
             F.sequence(F.lit(1), cnt),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    return F.array_distinct(word_ngrams_all(col, n))
 
 
 def ngram_jaccard_pairs(

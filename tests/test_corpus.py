@@ -68,3 +68,82 @@ def test_remove_boilerplate_lines(spark):
     out2 = {r["doc_id"]: r["clean_text"] for r in
             remove_boilerplate_lines(df2, "doc_id", "text", max_occurrences=2).collect()}
     assert out2 == {1: "x\ny", 2: "x\nz"}
+
+
+# ---------------- contamination / repetition / PII ----------------
+
+def test_contamination_check_flags_overlap(spark):
+    from ethereum_etl_spark.operators.corpus import contamination_check
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words here with no overlap at all today"),
+         (3, "the quick brown fox jumps high above everything else now")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "a note about the quick brown fox jumps somewhere")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_collisions"]
+           for r in contamination_check(train, test, "doc_id", "text", n=5).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    assert got[1] >= 1  # shares 'the quick brown fox jumps'
+
+
+def test_line_repetition_counts(spark):
+    from ethereum_etl_spark.functions.text import line_repetition
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "aa\nbb\naa\ncc"), (2, "x")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", line_repetition(F.col("text")).alias("r")).select("doc_id", "r.*").collect()}
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["n_distinct_lines"]) == (4, 3)
+    assert (r1["chars_all"], r1["chars_distinct"]) == (8, 6)
+    assert rows[2]["n_lines"] == 1
+
+
+def test_top_ngram_stats_argmax_and_ties(spark):
+    from ethereum_etl_spark.operators.corpus import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b c"),   # 'a b' x3, 'b a' x2, 'b c' x1 -> top 'a b'
+         (2, "x y z")],          # 'x y' 1, 'y z' 1 -> tie, lexicographically greatest wins
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in top_ngram_stats(df, "doc_id", "text", n=2).collect()}
+    assert got[1]["top_gram"] == "a b" and got[1]["top_gram_n"] == 3
+    assert got[1]["grams_total"] == 6
+    assert got[2]["top_gram"] == "y z"  # deterministic tie-break: greatest gram
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    from ethereum_etl_spark.operators.dedup import word_ngrams, word_ngrams_all
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b",)], "t string")
+    row = df.select(
+        word_ngrams_all(F.col("t"), 5).alias("all5"),
+        word_ngrams(F.col("t"), 2).alias("d2"),
+    ).first()
+    assert row["all5"] == []       # shorter than n: no grams, no slice(0) crash
+    assert row["d2"] == ["a b"]
+
+
+def test_pii_scrub_and_counts(spark):
+    from ethereum_etl_spark.functions.text import pii_counts, scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 192.168.0.1 call +44-800-123-4567 end"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", pii_counts(F.col("text")).alias("p"),
+        scrub_pii(F.col("text")).alias("s")).select("doc_id", "p.*", "s").collect()}
+    r1 = rows[1]
+    assert (r1["email"], r1["ipv4"], r1["phone"]) == (1, 1, 1)
+    assert "<EMAIL>" in r1["s"] and "<IP>" in r1["s"] and "<PHONE>" in r1["s"]
+    assert "corp.example.org" not in r1["s"] and "192.168" not in r1["s"]
+    r2 = rows[2]
+    assert (r2["email"], r2["ipv4"], r2["phone"]) == (0, 0, 0)
+    assert r2["s"] == "nothing sensitive here"
