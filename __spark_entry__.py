@@ -1685,6 +1685,24 @@ def q_cdc_delete_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out: net row-level changes between two snapshots via
+    ``changes_since`` (each changed key once, with its current row and
+    _change_type upsert|delete — tombstones visible, unlike read()).
+    Snapshot 0 = first half of the ops log, snapshot 1 = second half; the
+    oracle is 'per-key winner whose seq falls in the second half'."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=29, partitions=8, with_ops=True)
+    root = scratch.scratch_dir("cdc_incr_")
+    table = MergeTable(spark, root, n_buckets=8, delete_where="op = 'd'")
+    replay_range(spark, changes, table, 0, 2499)          # -> snapshot 0
+    replay_range(spark, changes, table, 2500, n - 1)      # -> snapshot 1
+    return table.changes_since(0).drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
+
+
 def q_reorg_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reorg-aware re-export (north-star: "reorg-aware re-export";
     streamer.py:110-111): ingest a pre-reorg view whose tail [3500, 4000)
@@ -1867,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_graph_stream": q_knowledge_graph_stream,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_delete_replay": q_cdc_delete_replay,
+        "cdc_incremental_read": q_cdc_incremental_read,
         "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -2712,6 +2731,19 @@ def _oracle_sql_base() -> dict[str, str]:
         # (datagen -> normalize -> idempotent merge -> snapshot read)
         "cdc_replay_final_state": _sql_normalized_changes(seed=7, n=5000),
         "cdc_delete_replay": _sql_delete_final_state(seed=23, n=5000),
+        # net per-key winner written by snapshot 1 (= seq in the second
+        # half of the log), tombstones included with _change_type
+        "cdc_incremental_read": f"""
+            SELECT op, seq, repo, path, commit, lang, content, sha256,
+                   content_size, n_tokens, value_hex, day_bucket, part_label,
+                   value_dec,
+                   CASE WHEN op = 'd' THEN 'delete' ELSE 'upsert' END AS _change_type
+            FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path, commit ORDER BY seq DESC) AS rn
+              FROM ({_sql_normalized_changes(seed=29, n=5000, with_ops=True)}))
+            WHERE rn = 1 AND seq >= 2500
+        """,
         "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
         # the reorged table converges to exactly the canonical log —
         # same regeneration family as cdc_replay_final_state

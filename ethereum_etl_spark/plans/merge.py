@@ -319,6 +319,133 @@ class MergeTable:
             # nothing can be a tombstone
             return df
 
+    def changes_since(self, snapshot_id: int) -> DataFrame:
+        """Net row-level changes committed AFTER ``snapshot_id`` — the
+        CDC-out / incremental-consumption surface (Iceberg's incremental
+        scan): each key that changed appears ONCE with its current row,
+        plus ``_change_type`` = 'upsert' | 'delete' (tombstones are
+        INCLUDED here — downstream consumers must see deletes — unlike
+        ``read()``, which hides them).
+
+        Works because every row persists the snapshot id that wrote it
+        (``__snap``), and winner resolution keeps the winner's own id: a
+        key's current version carries exactly the snapshot that last
+        changed it. Buckets whose files all predate ``snapshot_id`` are
+        pruned from the scan by path (file dirs are ``s<id>/``), so the
+        cost scales with changed buckets, not table size.
+        """
+        import re as _re
+
+        snap = self.current_snapshot()
+        empty_schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
+        if snap is None or snapshot_id >= snap["id"]:
+            return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
+
+        def _dir_id(path: str) -> int:
+            m = _re.search(r"[/\\]s(\d+)(?:-compact|-purge)?[/\\]", path + "/")
+            return int(m.group(1)) if m else -1
+
+        # bucket pruning: a bucket can only hold post-sid winners if SOME
+        # of its files were written after sid (conservative for -compact
+        # dirs, whose rows keep their original __snap)
+        wanted = {
+            b: plist
+            for b, plist in snap["buckets"].items()
+            if any(_dir_id(p) > snapshot_id for p in plist)
+        }
+        paths = sorted({p for plist in wanted.values() for p in plist})
+        if not paths:
+            return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if _SNAP_COL not in df.columns:
+            return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
+        df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+        out = self._resolve_winners(df).filter(F.col(_SNAP_COL) > snapshot_id)
+        if self.delete_where is not None:
+            is_del = F.coalesce(F.expr(self.delete_where), F.lit(False))
+        else:
+            is_del = F.lit(False)
+        return out.withColumn(
+            "_change_type", F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
+        ).drop(_SNAP_COL)
+
+    def purge_tombstones(self, below_seq: int) -> dict:
+        """Physically remove tombstones with ``order_col < below_seq`` —
+        the delete-file compaction a long-running CDC table needs
+        (tombstones otherwise accumulate forever; see delete_where for why
+        they must be retained at merge time).
+
+        SAFETY CONTRACT: only call with ``below_seq`` at or below the
+        replay low-watermark (e.g. the stream checkpoint's last synced
+        seq). A tombstone may be dropped only when no future batch can
+        carry a lower-seq row for its key — otherwise that late row would
+        resurrect the key.
+
+        Rewrites only the buckets that actually hold purgeable tombstones
+        (resolving winners first, so this doubles as a compaction of those
+        buckets' delta chains in MOR mode) and commits a new snapshot;
+        ``expire_snapshots`` reclaims the superseded files.
+        """
+        if self.delete_where is None:
+            raise ValueError("purge_tombstones requires delete_where")
+        snap = self.current_snapshot()
+        stats = {"buckets_rewritten": 0, "tombstones_removed": 0, "snapshot_id": None}
+        if snap is None:
+            return stats
+        paths = sorted({p for plist in snap["buckets"].values() for p in plist})
+        if not paths:
+            return stats
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if _SNAP_COL not in df.columns:
+            return stats
+        df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
+        try:
+            is_del = F.coalesce(F.expr(self.delete_where), F.lit(False))
+            purgeable = is_del & (F.col(self.order_col) < F.lit(below_seq))
+            # bounded collect: at most n_buckets rows
+            hit = (
+                df.filter(purgeable)
+                .select(_BUCKET_COL)
+                .groupBy(_BUCKET_COL)
+                .count()
+                .collect()
+            )
+        except Exception:
+            return stats  # no file carries the op column yet: no tombstones
+        if not hit:
+            return stats
+        touched = sorted(int(r[0]) for r in hit)
+        stats["tombstones_removed"] = int(sum(r[1] for r in hit))
+        next_id = snap["id"] + 1
+        sub = df.filter(F.col(_BUCKET_COL).isin(touched))
+        rewritten = self._resolve_winners(sub).filter(~purgeable)
+        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}-purge")
+        rewritten.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        new_buckets = dict(snap["buckets"])
+        for b in touched:
+            bpath = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
+            new_buckets[str(b)] = [bpath] if os.path.exists(bpath) else []
+        snapshot = dict(snap)
+        snapshot.update({"id": next_id, "parent": snap["id"], "buckets": new_buckets})
+        self._commit(snapshot)
+        stats["buckets_rewritten"] = len(touched)
+        stats["snapshot_id"] = next_id
+        self._log_lineage(
+            MergeMetrics(
+                batch_id=f"purge-below-{below_seq}",
+                snapshot_id=next_id,
+                rows_in=0,
+                rows_after_dedup=0,
+                buckets_touched=len(touched),
+                n_buckets=self.n_buckets,
+                seconds=0.0,
+                extra={"tombstones_removed": stats["tombstones_removed"]},
+            )
+        )
+        if self.auto_expire_keep is not None:
+            self.expire_snapshots(keep_last=self.auto_expire_keep)
+        return stats
+
     def touched_buckets(self, df: DataFrame) -> list[int]:
         """Bucket ids a batch's keys hash into (column-pruned aggregate)."""
         rows = (

@@ -109,3 +109,66 @@ def test_replay_with_deletes_matches_python_oracle(spark, tmp_path):
         latest[(r["repo"], r["path"], r["commit"])] = r["op"]
     want = {k for k, op in latest.items() if op == "u"}
     assert got == want
+
+
+# ---------------- incremental reads + tombstone compaction ----------------
+
+def test_changes_since_reports_net_changes_with_deletes(spark, tmp_path):
+    t = MergeTable(
+        spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=4,
+        delete_where="op = 'd'",
+    )
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u"),
+                        (2, "r", "b.py", "c2", "v2", "u")]), "b1")  # snapshot 0
+    t.merge(_mk(spark, [(3, "r", "a.py", "c1", "v1b", "u"),
+                        (4, "r", "c.py", "c3", "v3", "u")]), "b2")  # snapshot 1
+    t.merge(_mk(spark, [(5, "r", "b.py", "c2", None, "d")]), "b3")  # snapshot 2
+    ch = {r["commit"]: (r["_change_type"], r["content"])
+          for r in t.changes_since(0).collect()}
+    # c1 updated (net: latest row), c3 inserted, c2 deleted; b1-only keys absent
+    assert ch == {"c1": ("upsert", "v1b"), "c3": ("upsert", "v3"),
+                  "c2": ("delete", None)}
+    ch2 = {r["commit"]: r["_change_type"] for r in t.changes_since(1).collect()}
+    assert ch2 == {"c2": "delete"}
+    assert t.changes_since(2).count() == 0
+    # full-table scans prune to changed buckets only — sanity on schema
+    assert "_change_type" in t.changes_since(1).columns
+
+
+def test_changes_since_without_delete_where(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=4)
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u")]), "b1")
+    t.merge(_mk(spark, [(2, "r", "b.py", "c2", "v2", "u")]), "b2")
+    ch = {r["commit"]: r["_change_type"] for r in t.changes_since(0).collect()}
+    assert ch == {"c2": "upsert"}
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_purge_tombstones_drops_old_keeps_recent(spark, tmp_path, mode):
+    t = MergeTable(
+        spark, str(tmp_path / f"t_{mode}"), merge_keys=KEYS, n_buckets=4,
+        mode=mode, delete_where="op = 'd'",
+    )
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u"),
+                        (2, "r", "b.py", "c2", "v2", "u"),
+                        (3, "r", "c.py", "c3", "v3", "u")]), "b1")
+    t.merge(_mk(spark, [(4, "r", "a.py", "c1", None, "d"),
+                        (9, "r", "c.py", "c3", None, "d")]), "b2")
+    assert {r["commit"] for r in t.read().collect()} == {"c2"}
+    stats = t.purge_tombstones(below_seq=5)  # seq-4 tombstone purged, seq-9 kept
+    assert stats["tombstones_removed"] == 1 and stats["buckets_rewritten"] >= 1
+    # visible state unchanged by the purge
+    assert {r["commit"] for r in t.read().collect()} == {"c2"}
+    # the recent tombstone still guards its key; the purged one no longer does
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[p for pl in t.current_snapshot()["buckets"].values() for p in pl])
+    tombs = {r["commit"] for r in raw.filter(F.col("op") == "d").collect()}
+    assert tombs == {"c3"}
+    # idempotent: nothing left below the watermark
+    assert t.purge_tombstones(below_seq=5)["tombstones_removed"] == 0
+
+
+def test_purge_requires_delete_where(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=4)
+    with pytest.raises(ValueError):
+        t.purge_tombstones(below_seq=1)
