@@ -1703,6 +1703,48 @@ def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental training-corpus maintenance off the CDC-out feed — the
+    composition the whole engine exists for: ``changes_since`` hands the
+    corpus pipeline exactly the net delta (O(change volume), never
+    O(corpus)); upserted docs are token-count quality-gated, fingerprinted,
+    and delta-deduped first-wins-by-seq per fingerprint ('ingest' rows);
+    deleted keys emit 'retire' rows so the serving corpus can anti-join
+    them away — the GDPR/right-to-be-forgotten path a training lake needs.
+    At 100 TB the delta scan is bucket-pruned by path (PLANS.md §12), so a
+    daily corpus refresh costs the day's churn, not a 100 TB rescan."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=37, partitions=8, with_ops=True)
+    root = scratch.scratch_dir("cdc_corpus_")
+    table = MergeTable(spark, root, n_buckets=8, delete_where="op = 'd'")
+    replay_range(spark, changes, table, 0, 2499)          # -> snapshot 0
+    replay_range(spark, changes, table, 2500, n - 1)      # -> snapshot 1
+    delta = table.changes_since(0).drop("__bucket")
+    ups = (
+        delta.filter(F.col("_change_type") == "upsert")
+        .filter(F.col("n_tokens") >= 5)
+        .withColumn("fp", text_fingerprint(F.col("content")))
+    )
+    first_per_fp = Window.partitionBy("fp").orderBy("seq")
+    ingest = (
+        ups.withColumn("_rn", F.row_number().over(first_per_fp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.lit("ingest").alias("action"),
+            "seq", "repo", "path", "commit", "fp",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    retire = delta.filter(F.col("_change_type") == "delete").select(
+        F.lit("retire").alias("action"),
+        "seq", "repo", "path", "commit",
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("n_tokens"),
+    )
+    return ingest.unionByName(retire)
+
+
 def q_reorg_reexport(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reorg-aware re-export (north-star: "reorg-aware re-export";
     streamer.py:110-111): ingest a pre-reorg view whose tail [3500, 4000)
@@ -1886,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_delete_replay": q_cdc_delete_replay,
         "cdc_incremental_read": q_cdc_incremental_read,
+        "incremental_corpus_update": q_incremental_corpus_update,
         "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -2743,6 +2786,29 @@ def _oracle_sql_base() -> dict[str, str]:
                   PARTITION BY repo, path, commit ORDER BY seq DESC) AS rn
               FROM ({_sql_normalized_changes(seed=29, n=5000, with_ops=True)}))
             WHERE rn = 1 AND seq >= 2500
+        """,
+        # the CDC-out delta drives corpus upkeep: quality-gated, fingerprint-
+        # deduped ingest rows + retire rows for tombstoned keys
+        "incremental_corpus_update": f"""
+            WITH delta AS (
+              SELECT op, seq, repo, path, commit, content, n_tokens
+              FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path, commit ORDER BY seq DESC) AS rn
+                FROM ({_sql_normalized_changes(seed=37, n=5000, with_ops=True)}))
+              WHERE rn = 1 AND seq >= 2500),
+            ups AS (
+              SELECT seq, repo, path, commit, n_tokens,
+                     md5(trim(regexp_replace(regexp_replace(lower(content),
+                         '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+              FROM delta WHERE op <> 'd' AND n_tokens >= 5)
+            SELECT 'ingest' AS action, seq, repo, path, commit, fp, n_tokens
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY fp ORDER BY seq) AS rn2 FROM ups)
+            WHERE rn2 = 1
+            UNION ALL
+            SELECT 'retire', seq, repo, path, commit, NULL, NULL
+            FROM delta WHERE op = 'd'
         """,
         "cdc_stream_resume": _sql_normalized_changes(seed=11, n=6000),
         # the reorged table converges to exactly the canonical log —

@@ -172,3 +172,19 @@ def test_purge_requires_delete_where(spark, tmp_path):
     t = MergeTable(spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=4)
     with pytest.raises(ValueError):
         t.purge_tombstones(below_seq=1)
+
+
+def test_changes_since_prunes_unchanged_buckets(spark, tmp_path):
+    """The incremental scan must read only buckets with post-snapshot files —
+    cost tracks the change volume, not table size (the 100 TB contract)."""
+    t = MergeTable(spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=8)
+    wide = _mk(spark, [(i, "r", f"f{i}.py", f"c{i}", f"v{i}", "u")
+                       for i in range(40)])
+    t.merge(wide, "b1")                                        # snapshot 0: all buckets
+    t.merge(_mk(spark, [(100, "r", "f0.py", "c0", "v0b", "u")]), "b2")  # snapshot 1: one key
+    ch = t.changes_since(0)
+    assert [r["commit"] for r in ch.collect()] == ["c0"]
+    # physical evidence: the scan's input files span only the winner's bucket
+    bucket_dirs = {f.split("__bucket=")[1].split("/")[0]
+                   for f in ch.inputFiles() if "__bucket=" in f}
+    assert len(bucket_dirs) == 1, bucket_dirs
