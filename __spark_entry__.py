@@ -1703,6 +1703,25 @@ def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: ``read(as_of=0)`` returns the table exactly as
+    the first replay phase committed it, even after a second phase has
+    rewritten buckets (superseded files stay on disk until
+    ``expire_snapshots`` — the Iceberg ``VERSION AS OF`` analog, and the
+    reproducibility primitive a training pipeline needs: 'train on the
+    corpus as of snapshot N' stays re-runnable while ingest continues)."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=41, partitions=8)
+    root = scratch.scratch_dir("cdc_tt_")
+    table = MergeTable(spark, root, n_buckets=8)
+    replay_range(spark, changes, table, 0, 2499)          # -> snapshot 0
+    replay_range(spark, changes, table, 2500, n - 1)      # -> snapshot 1
+    return table.read(as_of=0).drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
+
+
 def q_incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental training-corpus maintenance off the CDC-out feed — the
     composition the whole engine exists for: ``changes_since`` hands the
@@ -1929,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_replay": q_cdc_delete_replay,
         "cdc_incremental_read": q_cdc_incremental_read,
         "incremental_corpus_update": q_incremental_corpus_update,
+        "time_travel_read": q_time_travel_read,
         "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -2786,6 +2806,15 @@ def _oracle_sql_base() -> dict[str, str]:
                   PARTITION BY repo, path, commit ORDER BY seq DESC) AS rn
               FROM ({_sql_normalized_changes(seed=29, n=5000, with_ops=True)}))
             WHERE rn = 1 AND seq >= 2500
+        """,
+        # the table as snapshot 0 committed it = the first replay phase's
+        # rows (all merge keys unique in the generated log)
+        "time_travel_read": f"""
+            SELECT seq, repo, path, commit, lang, content, sha256,
+                   content_size, n_tokens, value_hex, day_bucket, part_label,
+                   value_dec
+            FROM ({_sql_normalized_changes(seed=41, n=5000)})
+            WHERE seq <= 2499
         """,
         # the CDC-out delta drives corpus upkeep: quality-gated, fingerprint-
         # deduped ingest rows + retire rows for tombstoned keys

@@ -130,6 +130,26 @@ def main() -> None:
     mor_read_sec = time.time() - t0
     assert mor_rows == n_rows
 
+    # ---- incremental CDC-out read: after a small tail batch (the steady-
+    # state shape of a caught-up stream), changes_since must cost O(changed
+    # buckets), not O(table) — buckets_scanned/n_buckets is the pruning
+    # ratio, full resolved read is the alternative a consumer avoids
+    inc_prev = micro.current_snapshot()["id"]
+    replay_range(
+        spark, log_dir, micro, 0, 7, partition_size=None, batch_prefix="tail"
+    )
+    t0 = time.time()
+    inc_df = micro.changes_since(inc_prev)
+    inc_rows = inc_df.count()
+    inc_sec = time.time() - t0
+    inc_buckets = len(
+        {f.split("__bucket=")[1].split("/")[0]
+         for f in inc_df.inputFiles() if "__bucket=" in f}
+    )
+    t0 = time.time()
+    micro.read().count()
+    full_read_sec = time.time() - t0
+
     # ---- MOR compaction under churn: a long micro-batch stream appends a
     # delta file per touched bucket per merge; without compaction read-time
     # winner resolution degrades linearly in merges. This entry marches 24
@@ -229,6 +249,13 @@ def main() -> None:
             "mor_merge_latency_avg_sec": round(mor_latency, 3),
             "mor_events_per_sec": round(n_rows / mor_sec, 1),
             "mor_resolved_read_sec": round(mor_read_sec, 3),
+            "incremental_read": {
+                "changed_rows": inc_rows,
+                "changes_since_sec": round(inc_sec, 3),
+                "buckets_scanned": inc_buckets,
+                "n_buckets": micro.n_buckets,
+                "full_resolved_read_sec": round(full_read_sec, 3),
+            },
             "mor_churn": {
                 "micro_batches": n_churn,
                 "events_per_batch": churn_batch,

@@ -170,6 +170,18 @@ class MergeTable:
         with open(os.path.join(self.root, "snapshots", f"{pointer['snapshot']}.json")) as f:
             return json.load(f)
 
+    def snapshot_at(self, snapshot_id: int) -> dict:
+        """Manifest of a specific snapshot — raises if it never existed or
+        was reclaimed by ``expire_snapshots`` (time-travel horizon)."""
+        spath = os.path.join(self.root, "snapshots", f"{snapshot_id}.json")
+        if not os.path.exists(spath):
+            raise ValueError(
+                f"snapshot {snapshot_id} does not exist or has been expired "
+                f"(expire_snapshots bounds the time-travel horizon)"
+            )
+        with open(spath) as f:
+            return json.load(f)
+
     def committed_batches(self) -> set[str]:
         snap = self.current_snapshot()
         return set(snap["committed_batches"]) if snap else set()
@@ -277,14 +289,21 @@ class MergeTable:
             .drop(_RN_COL)
         )
 
-    def read(self, buckets: Sequence[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: Sequence[int] | None = None, as_of: int | None = None
+    ) -> DataFrame:
         """Current table state (snapshot-consistent). In MOR mode (any
         bucket holding delta files) superseded versions are resolved here.
 
         ``buckets`` prunes the scan to the given bucket ids — the
         lookup-side optimization for read-modify-write accumulates: a cycle
-        touching k of N buckets reads k/N of the table, not all of it."""
-        snap = self.current_snapshot()
+        touching k of N buckets reads k/N of the table, not all of it.
+
+        ``as_of`` time-travels: read the table exactly as snapshot
+        ``as_of`` committed it (a retained snapshot's file list IS that
+        historical state — superseded files stay on disk until
+        ``expire_snapshots`` reclaims them, which bounds the horizon)."""
+        snap = self.current_snapshot() if as_of is None else self.snapshot_at(as_of)
         if snap is None or not any(snap["buckets"].values()):
             schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
             return self.spark.createDataFrame([], schema)

@@ -139,3 +139,29 @@ class TestSnapshotExpiry:
     def test_auto_expire_keep_validation(self, spark, tmp_path):
         with pytest.raises(ValueError):
             MergeTable(spark, str(tmp_path / "v"), auto_expire_keep=0)
+
+
+class TestTimeTravel:
+    def test_read_as_of_returns_historical_state(self, spark, tmp_path):
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t.merge(_batch(spark, 0, n=10), "b0")   # snapshot 0
+        t.merge(_batch(spark, 1, n=25), "b1")   # snapshot 1: updates + inserts
+        t.merge(_batch(spark, 2, n=40), "b2")   # snapshot 2
+        assert t.read(as_of=0).count() == 10
+        assert t.read(as_of=1).count() == 25
+        assert t.read(as_of=2).count() == 40
+        # as-of state is the state, not just the count: seqs are the b0 ones
+        seqs = {r["seq"] for r in t.read(as_of=0).select("seq").collect()}
+        assert seqs == set(range(10))
+        # current read unchanged
+        assert t.read().count() == 40
+
+    def test_expired_snapshot_raises_clear_error(self, spark, tmp_path):
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        for i in range(4):
+            t.merge(_batch(spark, i, n=10), f"b{i}")
+        t.expire_snapshots(keep_last=2)
+        with pytest.raises(ValueError, match="expired"):
+            t.read(as_of=0)
+        # retained horizon still readable
+        assert t.read(as_of=3).count() == 10
