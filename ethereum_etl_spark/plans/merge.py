@@ -44,6 +44,17 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+class CommitConflict(RuntimeError):
+    """Another writer committed to this table after the current operation
+    read its base snapshot. The losing writer must re-read the table state
+    and redo its merge — blindly retrying the commit would silently drop
+    the other writer's changes (the lost-update anomaly this check exists
+    to prevent). Single-writer-per-table is the supported deployment (one
+    Streamer owns a table); this turns accidental concurrent writers from
+    silent corruption into a loud error — Iceberg's optimistic-concurrency
+    commit semantic."""
+
+
 _BUCKET_COL = "__bucket"
 _IS_NEW_COL = "__is_new"
 _RN_COL = "__rn"
@@ -158,6 +169,14 @@ class MergeTable:
 
     # ---------------- snapshot plumbing ----------------
 
+    @staticmethod
+    def _attempt_token() -> str:
+        """Per-attempt data-dir suffix: two writers racing the same next_id
+        can both write files, but never into the same directory — the
+        commit CAS then rejects the loser, whose orphan dir is reclaimed by
+        ``expire_snapshots`` (it is referenced by no retained snapshot)."""
+        return uuid.uuid4().hex[:6]
+
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.json")
 
@@ -187,14 +206,57 @@ class MergeTable:
         return set(snap["committed_batches"]) if snap else set()
 
     def _commit(self, snapshot: dict) -> None:
+        """Write the snapshot manifest, then CAS the pointer: the swap only
+        happens if the pointer still names this snapshot's parent —
+        otherwise another writer committed since this operation read its
+        base state, and overwriting would silently drop that writer's
+        changes. POSIX rename can't compare-and-swap, so the check+swap
+        pair is serialized through a short O_EXCL lock file (stolen if a
+        crashed writer left it stale)."""
         sid = snapshot["id"]
         spath = os.path.join(self.root, "snapshots", f"{sid}.json")
         with open(spath, "w") as f:
             json.dump(snapshot, f)
-        tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"snapshot": sid}, f)
-        os.replace(tmp, self._manifest_path())  # atomic pointer swap
+        lock = os.path.join(self.root, "manifest.lock")
+        fd = None
+        for _ in range(100):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)  # crashed writer; steal
+                        continue
+                except OSError:
+                    continue  # raced with the holder's release
+                time.sleep(0.05)
+        if fd is None:
+            raise CommitConflict(
+                f"could not acquire {lock} — another writer is mid-commit"
+            )
+        try:
+            mp = self._manifest_path()
+            current = None
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    current = json.load(f)["snapshot"]
+            expected = snapshot.get("parent")
+            if current != expected:
+                raise CommitConflict(
+                    f"base snapshot {expected} was superseded by {current}; "
+                    f"re-read the table and redo this merge"
+                )
+            tmp = mp + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"snapshot": sid}, f)
+            os.replace(tmp, mp)  # atomic pointer swap
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def _log_lineage(self, m: MergeMetrics) -> None:
         with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
@@ -361,7 +423,7 @@ class MergeTable:
             return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
 
         def _dir_id(path: str) -> int:
-            m = _re.search(r"[/\\]s(\d+)(?:-compact|-purge)?[/\\]", path + "/")
+            m = _re.search(r"[/\\]s(\d+)(?:-[A-Za-z0-9-]*)?[/\\]", path + "/")
             return int(m.group(1)) if m else -1
 
         # bucket pruning: a bucket can only hold post-sid winners if SOME
@@ -438,7 +500,7 @@ class MergeTable:
         next_id = snap["id"] + 1
         sub = df.filter(F.col(_BUCKET_COL).isin(touched))
         rewritten = self._resolve_winners(sub).filter(~purgeable)
-        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}-purge")
+        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}-purge-{self._attempt_token()}")
         rewritten.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
         new_buckets = dict(snap["buckets"])
         for b in touched:
@@ -555,7 +617,7 @@ class MergeTable:
         # 3. write files for touched buckets only; the data is already
         #    exchanged on the bucket column, so partitionBy writes straight
         #    out of the window's partitioning — no second shuffle
-        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}")
+        out_dir = os.path.join(self.root, "data", f"s{next_id:06d}-{self._attempt_token()}")
         obs = Observation()
         resolved = resolved.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         resolved.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
@@ -584,7 +646,7 @@ class MergeTable:
                 if _SNAP_COL not in cdf.columns:
                     cdf = cdf.withColumn(_SNAP_COL, F.lit(-1))
                 compacted = self._resolve_winners(cdf)
-                cdir = os.path.join(self.root, "data", f"s{next_id:06d}-compact")
+                cdir = os.path.join(self.root, "data", f"s{next_id:06d}-compact-{self._attempt_token()}")
                 compacted.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(cdir)
                 for b in overlong:
                     bpath = os.path.join(cdir, f"{_BUCKET_COL}={b}")

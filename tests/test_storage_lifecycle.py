@@ -92,7 +92,7 @@ class TestSnapshotExpiry:
         assert stats["snapshots_removed"] == 3
         # only the data dirs of the last 2 snapshots survive (COW rewrites
         # every touched bucket, so each snapshot references only its own dir)
-        assert _data_dirs(t.root) == ["s000003", "s000004"]
+        assert [d[:7] for d in _data_dirs(t.root)] == ["s000003", "s000004"]
         # table still reads the same final state
         rows = t.read()
         assert rows.count() == 40  # 8x20 key space truncated to 40 distinct
@@ -165,3 +165,53 @@ class TestTimeTravel:
             t.read(as_of=0)
         # retained horizon still readable
         assert t.read(as_of=3).count() == 10
+
+
+class TestCommitConflict:
+    def test_stale_base_commit_raises(self, spark, tmp_path):
+        """A writer whose base snapshot was superseded must get a loud
+        CommitConflict, never a silent lost update."""
+        from ethereum_etl_spark.plans.merge import CommitConflict
+
+        t1 = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t1.merge(_batch(spark, 0, n=10), "b0")        # snapshot 0
+        t2 = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        base = t2.current_snapshot()                  # both handles see id 0
+        t1.merge(_batch(spark, 1, n=10), "b1")        # t1 advances to 1
+        stale = dict(base)
+        stale.update({"id": 1, "parent": base["id"]})  # t2's would-be commit
+        with pytest.raises(CommitConflict, match="superseded"):
+            t2._commit(stale)
+        # the winner's state is intact
+        assert t1.current_snapshot()["id"] == 1
+        assert t1.read().count() == 10
+
+    def test_sequential_multi_handle_writers_ok(self, spark, tmp_path):
+        """Non-overlapping writers through separate handles are fine: each
+        reads the latest snapshot before committing."""
+        t1 = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t2 = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t1.merge(_batch(spark, 0, n=10), "b0")
+        t2.merge(_batch(spark, 1, n=20), "b1")
+        t1.merge(_batch(spark, 2, n=30), "b2")
+        assert t1.current_snapshot()["id"] == 2
+        assert t2.read().count() == 30
+
+    def test_stale_lock_is_stolen(self, spark, tmp_path):
+        """A lock file left by a crashed writer must not wedge the table."""
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        lock = os.path.join(t.root, "manifest.lock")
+        open(lock, "w").close()
+        os.utime(lock, (1, 1))  # ancient mtime -> stale
+        t.merge(_batch(spark, 0, n=10), "b0")
+        assert t.read().count() == 10 and not os.path.exists(lock)
+
+    def test_racing_writers_never_share_a_data_dir(self, spark, tmp_path):
+        """Unique per-attempt dirs: even same-next-id attempts cannot
+        clobber each other's files (orphans are expired later)."""
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t.merge(_batch(spark, 0, n=10), "b0")
+        t.merge(_batch(spark, 1, n=10), "b1")
+        dirs = _data_dirs(t.root)
+        assert len(dirs) == len(set(dirs)) == 2
+        assert all(len(d) > 7 and d[7] == "-" for d in dirs), dirs
