@@ -134,6 +134,19 @@ def main(argv: list[str] | None = None) -> int:
     latest.add_argument("--out", required=True)
     latest.add_argument("--buckets", type=int, default=32)
 
+    ch = sub.add_parser(
+        "changes-since",
+        help="export net row-level changes committed after a snapshot "
+        "(CDC-out: each changed key once, _change_type upsert|delete)",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--snapshot", type=int, required=True,
+                    help="consumer's last-seen snapshot id")
+    ch.add_argument("--out", required=True)
+    ch.add_argument("--buckets", type=int, default=32)
+    ch.add_argument("--delete-where", default=None,
+                    help="SQL bool marking CDC DELETE rows, e.g. \"op = 'd'\"")
+
     vac = sub.add_parser(
         "vacuum", help="expire old snapshots; delete unreferenced data dirs"
     )
@@ -180,6 +193,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "latest-state":
         _table(spark, args).latest_state().write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
+    elif args.cmd == "changes-since":
+        t = MergeTable(
+            spark, args.table, n_buckets=args.buckets,
+            delete_where=args.delete_where,
+        )
+        delta = t.changes_since(args.snapshot).drop("__bucket")
+        delta.write.mode("overwrite").parquet(args.out)
+        cur = t.current_snapshot()
+        print(json.dumps({
+            "out": args.out,
+            "since_snapshot": args.snapshot,
+            "current_snapshot": cur["id"] if cur else None,
+        }))
     elif args.cmd == "vacuum":
         stats = _table(spark, args).expire_snapshots(keep_last=args.keep_last)
         print(json.dumps(stats))

@@ -110,3 +110,24 @@ def test_vacuum_cli(spark, tmp_path, capsys):
     assert stats["snapshots_removed"] == 3 and stats["dirs_removed"] > 0
     assert [d[:7] for d in os.listdir(os.path.join(root, "data"))] == ["s000003"]
     assert t.read().count() == 80  # 4 distinct commits x 20 paths, all live
+
+
+def test_changes_since_cli(spark, tmp_path, capsys):
+    from ethereum_etl_spark.plans.merge import MergeTable
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root, n_buckets=4, delete_where="op = 'd'")
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "seq long, repo string, path string, commit string, op string")
+    t.merge(mk([(1, "r", "a.py", "c1", "u"), (2, "r", "b.py", "c2", "u")]), "b0")
+    t.merge(mk([(3, "r", "a.py", "c1", "u"), (4, "r", "b.py", "c2", "d")]), "b1")
+    out = str(tmp_path / "delta")
+    rc = cli.main(["changes-since", "--table", root, "--snapshot", "0",
+                   "--out", out, "--buckets", "4", "--delete-where", "op = 'd'"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["current_snapshot"] == 1 and info["since_snapshot"] == 0
+    back = {r["commit"]: r["_change_type"]
+            for r in spark.read.parquet(out).collect()}
+    assert back == {"c1": "upsert", "c2": "delete"}
