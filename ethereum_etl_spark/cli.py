@@ -147,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--delete-where", default=None,
                     help="SQL bool marking CDC DELETE rows, e.g. \"op = 'd'\"")
 
+    hist = sub.add_parser(
+        "history", help="list retained snapshots (valid time-travel/CDC cursors)"
+    )
+    hist.add_argument("--table", required=True)
+    hist.add_argument("--buckets", type=int, default=32)
+
     vac = sub.add_parser(
         "vacuum", help="expire old snapshots; delete unreferenced data dirs"
     )
@@ -206,6 +212,8 @@ def main(argv: list[str] | None = None) -> int:
             "since_snapshot": args.snapshot,
             "current_snapshot": cur["id"] if cur else None,
         }))
+    elif args.cmd == "history":
+        print(json.dumps(_table(spark, args).history()))
     elif args.cmd == "vacuum":
         stats = _table(spark, args).expire_snapshots(keep_last=args.keep_last)
         print(json.dumps(stats))

@@ -201,6 +201,28 @@ class MergeTable:
         with open(spath) as f:
             return json.load(f)
 
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first — the audit/observability view
+        (Iceberg's ``snapshots`` metadata table): id, parent, batch count,
+        file count, and whether it is the current pointer. Time-travel and
+        ``changes_since`` cursors are valid exactly for the ids listed."""
+        sdir = os.path.join(self.root, "snapshots")
+        cur = self.current_snapshot()
+        out = []
+        for i in sorted(
+            int(f[:-5]) for f in os.listdir(sdir) if f.endswith(".json")
+        ):
+            with open(os.path.join(sdir, f"{i}.json")) as f:
+                s = json.load(f)
+            out.append({
+                "id": s["id"],
+                "parent": s.get("parent"),
+                "n_batches": len(s.get("committed_batches", [])),
+                "n_files": sum(len(v) for v in s["buckets"].values()),
+                "is_current": bool(cur) and s["id"] == cur["id"],
+            })
+        return out
+
     def committed_batches(self) -> set[str]:
         snap = self.current_snapshot()
         return set(snap["committed_batches"]) if snap else set()

@@ -215,3 +215,16 @@ class TestCommitConflict:
         dirs = _data_dirs(t.root)
         assert len(dirs) == len(set(dirs)) == 2
         assert all(len(d) > 7 and d[7] == "-" for d in dirs), dirs
+
+
+def test_history_lists_retained_snapshots(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(4):
+        t.merge(_batch(spark, i, n=10), f"b{i}")
+    h = t.history()
+    assert [s["id"] for s in h] == [0, 1, 2, 3]
+    assert [s["parent"] for s in h] == [None, 0, 1, 2]
+    assert [s["is_current"] for s in h] == [False, False, False, True]
+    assert h[-1]["n_batches"] == 4 and h[-1]["n_files"] > 0
+    t.expire_snapshots(keep_last=2)
+    assert [s["id"] for s in t.history()] == [2, 3]
