@@ -1703,6 +1703,26 @@ def q_cdc_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_purged_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone compaction is invisible to readers: after replaying a
+    binlog with DELETEs, ``purge_tombstones`` below the replay watermark
+    physically rewrites the affected buckets (dropping every dead-weight
+    tombstone — the retention step a years-long CDC table needs), and the
+    visible state still equals the per-key-winner oracle. The in-query
+    assert guards against the purge being a vacuous no-op."""
+    _utc(spark)
+    n = 5000
+    changes = generate_repo_changes(spark, n, seed=43, partitions=8, with_ops=True)
+    root = scratch.scratch_dir("cdc_purge_")
+    table = MergeTable(spark, root, n_buckets=8, delete_where="op = 'd'")
+    replay_range(spark, changes, table, 0, n - 1, partition_size=2500)
+    stats = table.purge_tombstones(below_seq=n)  # watermark = log head
+    assert stats["tombstones_removed"] > 0, "purge was a no-op; query is vacuous"
+    return table.read().drop("__bucket").withColumn(
+        "value_dec", F.col("value_dec").cast("string")
+    )
+
+
 def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel: ``read(as_of=0)`` returns the table exactly as
     the first replay phase committed it, even after a second phase has
@@ -1949,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_read": q_cdc_incremental_read,
         "incremental_corpus_update": q_incremental_corpus_update,
         "time_travel_read": q_time_travel_read,
+        "cdc_purged_state": q_cdc_purged_state,
         "reorg_reexport": q_reorg_reexport,
         "cdc_latest_state": q_cdc_latest_state,
         "schema_evolution_replay": q_schema_evolution_replay,
@@ -2807,6 +2828,9 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM ({_sql_normalized_changes(seed=29, n=5000, with_ops=True)}))
             WHERE rn = 1 AND seq >= 2500
         """,
+        # purge preserves the visible state exactly: same family as the
+        # delete-replay oracle (per-key winner, tombstoned keys gone)
+        "cdc_purged_state": _sql_delete_final_state(seed=43, n=5000),
         # the table as snapshot 0 committed it = the first replay phase's
         # rows (all merge keys unique in the generated log)
         "time_travel_read": f"""

@@ -12,6 +12,8 @@ binlog/WAL-tail lake upsert — must honor DELETEs. Semantics under test:
 - MOR mode resolves winners at read time — same visibility rules
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -223,3 +225,39 @@ def test_incremental_consumer_reconstructs_state(spark, tmp_path):
     assert consumer == truth
     assert consumer[("r", "b.py", "c2")] == "v2-back"  # reinsert won
     assert ("r", "c.py", "c3") not in consumer          # delete applied
+
+
+# ---------------- CdcRelay: the packaged downstream consumer ----------------
+
+def test_cdc_relay_ships_deltas_and_resumes(spark, tmp_path):
+    from ethereum_etl_spark.streaming.relay import CdcRelay
+
+    t = MergeTable(
+        spark, str(tmp_path / "t"), merge_keys=KEYS, n_buckets=4,
+        delete_where="op = 'd'",
+    )
+    out, cur = str(tmp_path / "feed"), str(tmp_path / "cursor.json")
+    relay = CdcRelay(t, out, cur)
+    assert relay.poll_once() is None            # empty table: nothing to ship
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u"),
+                        (2, "r", "b.py", "c2", "v2", "u")]), "b0")
+    r1 = relay.poll_once()
+    assert r1["from_snapshot"] == -1 and r1["to_snapshot"] == 0
+    assert relay.poll_once() is None            # caught up -> idempotent no-op
+    t.merge(_mk(spark, [(3, "r", "a.py", "c1", "v1b", "u")]), "b1")
+    t.merge(_mk(spark, [(4, "r", "b.py", "c2", None, "d")]), "b2")
+    # a NEW relay instance resumes from the persisted cursor
+    shipped = CdcRelay(t, out, cur).run_until_head()
+    assert [s["to_snapshot"] for s in shipped] == [2]
+    # replaying every committed delta reconstructs the visible state
+    state: dict = {}
+    for d in sorted(os.listdir(out)):
+        for r in spark.read.parquet(os.path.join(out, d)).collect():
+            k = (r["repo"], r["path"], r["commit"])
+            if r["_change_type"] == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = r["content"]
+    truth = {(r["repo"], r["path"], r["commit"]): r["content"]
+             for r in t.read().collect()}
+    assert state == truth == {("r", "a.py", "c1"): "v1b"}
