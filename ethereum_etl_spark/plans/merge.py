@@ -237,8 +237,6 @@ class MergeTable:
         crashed writer left it stale)."""
         sid = snapshot["id"]
         spath = os.path.join(self.root, "snapshots", f"{sid}.json")
-        with open(spath, "w") as f:
-            json.dump(snapshot, f)
         lock = os.path.join(self.root, "manifest.lock")
         fd = None
         for _ in range(100):
@@ -269,6 +267,13 @@ class MergeTable:
                     f"base snapshot {expected} was superseded by {current}; "
                     f"re-read the table and redo this merge"
                 )
+            # manifest write happens INSIDE the CAS: a stale racer with the
+            # same next_id must never clobber the winner's committed
+            # snapshots/<sid>.json (the file the pointer references)
+            stmp = spath + f".tmp-{uuid.uuid4().hex}"
+            with open(stmp, "w") as f:
+                json.dump(snapshot, f)
+            os.replace(stmp, spath)
             tmp = mp + f".tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump({"snapshot": sid}, f)

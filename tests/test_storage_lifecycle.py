@@ -179,11 +179,15 @@ class TestCommitConflict:
         base = t2.current_snapshot()                  # both handles see id 0
         t1.merge(_batch(spark, 1, n=10), "b1")        # t1 advances to 1
         stale = dict(base)
-        stale.update({"id": 1, "parent": base["id"]})  # t2's would-be commit
+        stale.update({"id": 1, "parent": base["id"],
+                      "loser_marker": True})  # t2's would-be commit
         with pytest.raises(CommitConflict, match="superseded"):
             t2._commit(stale)
-        # the winner's state is intact
-        assert t1.current_snapshot()["id"] == 1
+        # the winner's state is intact — including its snapshot MANIFEST:
+        # the loser shares next_id=1 and must not clobber snapshots/1.json
+        cur = t1.current_snapshot()
+        assert cur["id"] == 1 and "loser_marker" not in cur
+        assert "b1" in cur["committed_batches"]
         assert t1.read().count() == 10
 
     def test_sequential_multi_handle_writers_ok(self, spark, tmp_path):
