@@ -87,9 +87,24 @@ def _export_entity(spark, args) -> dict:
 
 
 def _table(spark, args) -> MergeTable:
+    """Writer-side construction (replay/stream): explicit flags win."""
     return MergeTable(
         spark, args.table, n_buckets=args.buckets, mode=getattr(args, "mode", "cow"),
         merge_salts=getattr(args, "merge_salts", 1),
+    )
+
+
+def _open_table(spark, args) -> MergeTable:
+    """Reader-side construction (latest-state / changes-since / history /
+    vacuum): merge_keys, order_col, n_buckets, merge_salts and delete_where
+    come from the table's own snapshot manifest — guessed defaults resolve
+    winners with the WRONG key/order columns on any table built with
+    non-default keys (e.g. a wallets table keyed by address/token).
+    Explicitly passed flags that conflict with the manifest error out."""
+    return MergeTable.open(
+        spark, args.table,
+        n_buckets=getattr(args, "buckets", None),
+        delete_where=getattr(args, "delete_where", None),
     )
 
 
@@ -132,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     latest = sub.add_parser("latest-state", help="export the latest-commit-per-path view")
     latest.add_argument("--table", required=True)
     latest.add_argument("--out", required=True)
-    latest.add_argument("--buckets", type=int, default=32)
+    latest.add_argument("--buckets", type=int, default=None,
+                        help="(default: from the table's snapshot manifest)")
 
     ch = sub.add_parser(
         "changes-since",
@@ -143,22 +159,26 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--snapshot", type=int, required=True,
                     help="consumer's last-seen snapshot id")
     ch.add_argument("--out", required=True)
-    ch.add_argument("--buckets", type=int, default=32)
+    ch.add_argument("--buckets", type=int, default=None,
+                    help="(default: from the table's snapshot manifest)")
     ch.add_argument("--delete-where", default=None,
-                    help="SQL bool marking CDC DELETE rows, e.g. \"op = 'd'\"")
+                    help="SQL bool marking CDC DELETE rows "
+                    "(default: from the table's snapshot manifest)")
 
     hist = sub.add_parser(
         "history", help="list retained snapshots (valid time-travel/CDC cursors)"
     )
     hist.add_argument("--table", required=True)
-    hist.add_argument("--buckets", type=int, default=32)
+    hist.add_argument("--buckets", type=int, default=None,
+                      help="(default: from the table's snapshot manifest)")
 
     vac = sub.add_parser(
         "vacuum", help="expire old snapshots; delete unreferenced data dirs"
     )
     vac.add_argument("--table", required=True)
     vac.add_argument("--keep-last", type=int, default=2)
-    vac.add_argument("--buckets", type=int, default=32)
+    vac.add_argument("--buckets", type=int, default=None,
+                     help="(default: from the table's snapshot manifest)")
 
     for entity in _EXPORT_ENTITIES:
         e = sub.add_parser(
@@ -197,13 +217,10 @@ def main(argv: list[str] | None = None) -> int:
             "last_synced": streamer.last_synced(),
         }))
     elif args.cmd == "latest-state":
-        _table(spark, args).latest_state().write.mode("overwrite").parquet(args.out)
+        _open_table(spark, args).latest_state().write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out}))
     elif args.cmd == "changes-since":
-        t = MergeTable(
-            spark, args.table, n_buckets=args.buckets,
-            delete_where=args.delete_where,
-        )
+        t = _open_table(spark, args)
         delta = t.changes_since(args.snapshot).drop("__bucket")
         delta.write.mode("overwrite").parquet(args.out)
         cur = t.current_snapshot()
@@ -213,9 +230,9 @@ def main(argv: list[str] | None = None) -> int:
             "current_snapshot": cur["id"] if cur else None,
         }))
     elif args.cmd == "history":
-        print(json.dumps(_table(spark, args).history()))
+        print(json.dumps(_open_table(spark, args).history()))
     elif args.cmd == "vacuum":
-        stats = _table(spark, args).expire_snapshots(keep_last=args.keep_last)
+        stats = _open_table(spark, args).expire_snapshots(keep_last=args.keep_last)
         print(json.dumps(stats))
     elif args.cmd.startswith("export-"):
         print(json.dumps(_export_entity(spark, args)))

@@ -36,11 +36,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,203 @@ class MergeMetrics:
         }
 
 
+class SnapshotCatalog:
+    """The commit-protocol seam (Iceberg adapter point): ``MergeTable``
+    reads and publishes snapshot manifests ONLY through this interface, so
+    the hand-built file protocol (``FileSnapshotCatalog``, the default) and
+    a real Iceberg catalog — whose ``commit()`` would be an Iceberg
+    transaction (REST/Hive catalog compare-and-swap on the table metadata
+    pointer) — are swappable without touching any merge/read logic.
+
+    A snapshot is a plain dict: ``id``, ``parent``, ``buckets`` (bucket id
+    -> list of data paths), ``committed_batches``, plus the persisted table
+    config (``merge_keys``, ``order_col``, ``n_buckets``, ``merge_salts``,
+    ``delete_where``) that ``MergeTable.open`` reads back.
+    """
+
+    def current_snapshot(self) -> dict | None:
+        raise NotImplementedError
+
+    def snapshot_at(self, snapshot_id: int) -> dict:
+        """Manifest of a specific snapshot — raises ValueError if it never
+        existed or was expired (time-travel horizon)."""
+        raise NotImplementedError
+
+    def snapshot_ids(self) -> list[int]:
+        """Retained snapshot ids, ascending."""
+        raise NotImplementedError
+
+    def commit(self, snapshot: dict) -> None:
+        """Atomically publish ``snapshot`` iff the table pointer still
+        names ``snapshot['parent']``; raise CommitConflict otherwise."""
+        raise NotImplementedError
+
+    def remove_snapshot(self, snapshot_id: int) -> None:
+        raise NotImplementedError
+
+    def log_lineage(self, record: dict) -> None:
+        raise NotImplementedError
+
+
+class FileSnapshotCatalog(SnapshotCatalog):
+    """Snapshot manifests as JSON files + an atomically-swapped pointer.
+
+    Layout (under the table root)::
+
+        manifest.json            -> {"snapshot": <id>}   (atomic pointer)
+        snapshots/<id>.json      -> immutable snapshot manifest
+        lineage.jsonl            -> one MergeMetrics line per commit
+
+    ``commit()`` serializes the check+swap pair through a short O_EXCL
+    lock file. Locks left by crashed writers are STOLEN after ``lock_ttl``
+    seconds of inactivity — via atomic rename, so of N concurrent stealers
+    exactly one wins (the losers' renames raise) and a fresh lock acquired
+    by a third writer in between can never be unlinked by a late stealer.
+    A live writer stalled past ``lock_ttl`` inside the critical section
+    (GC pause, slow network FS) re-verifies ownership (lock inode) right
+    before publishing and aborts with CommitConflict if it was stolen —
+    the stalled holder can no longer race the stealer's check+swap.
+    """
+
+    def __init__(self, root: str, lock_ttl: float = 30.0):
+        self.root = root
+        self.lock_ttl = lock_ttl
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _snapshot_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "snapshots", f"{snapshot_id}.json")
+
+    def current_snapshot(self) -> dict | None:
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            pointer = json.load(f)
+        with open(self._snapshot_path(pointer["snapshot"])) as f:
+            return json.load(f)
+
+    def snapshot_at(self, snapshot_id: int) -> dict:
+        spath = self._snapshot_path(snapshot_id)
+        if not os.path.exists(spath):
+            raise ValueError(
+                f"snapshot {snapshot_id} does not exist or has been expired "
+                f"(expire_snapshots bounds the time-travel horizon)"
+            )
+        with open(spath) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        sdir = os.path.join(self.root, "snapshots")
+        return sorted(int(f[:-5]) for f in os.listdir(sdir) if f.endswith(".json"))
+
+    def remove_snapshot(self, snapshot_id: int) -> None:
+        os.remove(self._snapshot_path(snapshot_id))
+
+    def log_lineage(self, record: dict) -> None:
+        with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    # -- the commit critical section --
+
+    @staticmethod
+    def _owns(lock: str, ino: int) -> bool:
+        """Does the lock file at ``lock`` still have OUR inode? False once
+        a stealer renamed it away (even if a third writer re-created it)."""
+        try:
+            return os.stat(lock).st_ino == ino
+        except OSError:
+            return False
+
+    def _acquire_lock(self, lock: str) -> int:
+        for _ in range(200):
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(lock) > self.lock_ttl
+                except OSError:
+                    continue  # raced with the holder's release
+                if stale:
+                    # steal by atomic rename: exactly one stealer's rename
+                    # succeeds, so two stealers can never both unlink-and-
+                    # acquire, and a fresh third-party lock is untouchable
+                    grave = lock + f".stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, grave)
+                    except OSError:
+                        continue  # lost the steal race (or holder released)
+                    try:
+                        os.unlink(grave)
+                    except OSError:
+                        pass
+                    continue
+                time.sleep(0.05)
+        raise CommitConflict(
+            f"could not acquire {lock} — another writer is mid-commit"
+        )
+
+    def _write_temp_files(self, snapshot: dict, spath: str, mp: str) -> tuple[str, str]:
+        """Stage the snapshot manifest + pointer to temp names (published
+        by two renames AFTER the ownership re-verify — a writer that lost
+        its lock mid-section must never touch the real paths, which may
+        now belong to the stealer's same-id commit)."""
+        stmp = spath + f".tmp-{uuid.uuid4().hex}"
+        with open(stmp, "w") as f:
+            json.dump(snapshot, f)
+        tmp = mp + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snapshot["id"]}, f)
+        return stmp, tmp
+
+    def commit(self, snapshot: dict) -> None:
+        sid = snapshot["id"]
+        spath = self._snapshot_path(sid)
+        mp = self._manifest_path()
+        lock = os.path.join(self.root, "manifest.lock")
+        fd = self._acquire_lock(lock)
+        my_ino = os.fstat(fd).st_ino
+        try:
+            current = None
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    current = json.load(f)["snapshot"]
+            expected = snapshot.get("parent")
+            if current != expected:
+                raise CommitConflict(
+                    f"base snapshot {expected} was superseded by {current}; "
+                    f"re-read the table and redo this merge"
+                )
+            stmp, tmp = self._write_temp_files(snapshot, spath, mp)
+            if not self._owns(lock, my_ino):
+                # we stalled past lock_ttl and a stealer took over — its
+                # check+swap may be mid-flight; publishing now would be
+                # exactly the lost update the lock exists to prevent
+                for t in (stmp, tmp):
+                    try:
+                        os.unlink(t)
+                    except OSError:
+                        pass
+                raise CommitConflict(
+                    f"lock was stolen mid-commit (held past {self.lock_ttl}s); "
+                    f"snapshot {sid} not published — re-read and retry"
+                )
+            # manifest write lands INSIDE the verified critical section: a
+            # stale racer with the same next_id can never clobber the
+            # winner's committed snapshots/<sid>.json
+            os.replace(stmp, spath)
+            os.replace(tmp, mp)  # atomic pointer swap
+        finally:
+            os.close(fd)
+            if self._owns(lock, my_ino):
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+
+
 class MergeTable:
     """A parquet-backed upsert table with snapshot manifests.
 
@@ -99,6 +298,10 @@ class MergeTable:
           snapshots/<id>.json      -> immutable snapshot manifest
           data/s<id>/b=<k>/*.parquet
           lineage.jsonl            -> one MergeMetrics line per commit
+
+    Snapshot metadata I/O goes through ``self.catalog`` (a
+    ``SnapshotCatalog``); the file layout above is the default
+    ``FileSnapshotCatalog``'s.
     """
 
     def __init__(
@@ -113,6 +316,7 @@ class MergeTable:
         merge_salts: int = 1,
         auto_expire_keep: int | None = None,
         delete_where: str | None = None,
+        catalog: SnapshotCatalog | None = None,
     ):
         """``mode``:
 
@@ -164,10 +368,55 @@ class MergeTable:
             raise ValueError("auto_expire_keep must be >= 1")
         self.auto_expire_keep = auto_expire_keep
         self.delete_where = delete_where
-        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+        self.catalog = catalog if catalog is not None else FileSnapshotCatalog(root)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
-    # ---------------- snapshot plumbing ----------------
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        catalog: SnapshotCatalog | None = None,
+        **kwargs,
+    ) -> "MergeTable":
+        """Construct from the table's OWN persisted config: every snapshot
+        manifest records ``merge_keys`` / ``order_col`` / ``n_buckets`` /
+        ``merge_salts`` / ``delete_where``, and guessing defaults instead
+        (the old CLI behavior) silently resolves winners with the wrong
+        key/order columns on any table built with non-default keys.
+
+        Explicit kwargs that CONFLICT with the persisted config raise
+        ValueError; config keys absent from the manifest (pre-persistence
+        tables) and purely operational kwargs (mode, compact_threshold,
+        auto_expire_keep) pass through unchanged. Falls back to constructor
+        defaults when the table has no snapshot yet."""
+        cat = catalog if catalog is not None else FileSnapshotCatalog(root)
+        snap = cat.current_snapshot()
+        if snap is not None:
+            for k in ("merge_keys", "order_col", "n_buckets", "merge_salts",
+                      "delete_where"):
+                if k not in snap or snap[k] is None:
+                    continue  # pre-persistence manifest / unconfigured
+                persisted = snap[k]
+                if k in kwargs and kwargs[k] is not None:
+                    given = kwargs[k]
+                    same = (
+                        list(given) == list(persisted)
+                        if k == "merge_keys"
+                        else given == persisted
+                    )
+                    if not same:
+                        raise ValueError(
+                            f"{k}={given!r} conflicts with the table's "
+                            f"persisted {k}={persisted!r} (snapshot "
+                            f"{snap['id']} at {root})"
+                        )
+                elif persisted is not None:
+                    kwargs[k] = persisted
+        kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        return cls(spark, root, catalog=cat, **kwargs)
+
+    # ---------------- snapshot plumbing (via the catalog) ----------------
 
     @staticmethod
     def _attempt_token() -> str:
@@ -177,43 +426,23 @@ class MergeTable:
         ``expire_snapshots`` (it is referenced by no retained snapshot)."""
         return uuid.uuid4().hex[:6]
 
-    def _manifest_path(self) -> str:
-        return os.path.join(self.root, "manifest.json")
-
     def current_snapshot(self) -> dict | None:
-        mp = self._manifest_path()
-        if not os.path.exists(mp):
-            return None
-        with open(mp) as f:
-            pointer = json.load(f)
-        with open(os.path.join(self.root, "snapshots", f"{pointer['snapshot']}.json")) as f:
-            return json.load(f)
+        return self.catalog.current_snapshot()
 
     def snapshot_at(self, snapshot_id: int) -> dict:
         """Manifest of a specific snapshot — raises if it never existed or
         was reclaimed by ``expire_snapshots`` (time-travel horizon)."""
-        spath = os.path.join(self.root, "snapshots", f"{snapshot_id}.json")
-        if not os.path.exists(spath):
-            raise ValueError(
-                f"snapshot {snapshot_id} does not exist or has been expired "
-                f"(expire_snapshots bounds the time-travel horizon)"
-            )
-        with open(spath) as f:
-            return json.load(f)
+        return self.catalog.snapshot_at(snapshot_id)
 
     def history(self) -> list[dict]:
         """Retained snapshots, oldest first — the audit/observability view
         (Iceberg's ``snapshots`` metadata table): id, parent, batch count,
         file count, and whether it is the current pointer. Time-travel and
         ``changes_since`` cursors are valid exactly for the ids listed."""
-        sdir = os.path.join(self.root, "snapshots")
         cur = self.current_snapshot()
         out = []
-        for i in sorted(
-            int(f[:-5]) for f in os.listdir(sdir) if f.endswith(".json")
-        ):
-            with open(os.path.join(sdir, f"{i}.json")) as f:
-                s = json.load(f)
+        for i in self.catalog.snapshot_ids():
+            s = self.catalog.snapshot_at(i)
             out.append({
                 "id": s["id"],
                 "parent": s.get("parent"),
@@ -228,66 +457,10 @@ class MergeTable:
         return set(snap["committed_batches"]) if snap else set()
 
     def _commit(self, snapshot: dict) -> None:
-        """Write the snapshot manifest, then CAS the pointer: the swap only
-        happens if the pointer still names this snapshot's parent —
-        otherwise another writer committed since this operation read its
-        base state, and overwriting would silently drop that writer's
-        changes. POSIX rename can't compare-and-swap, so the check+swap
-        pair is serialized through a short O_EXCL lock file (stolen if a
-        crashed writer left it stale)."""
-        sid = snapshot["id"]
-        spath = os.path.join(self.root, "snapshots", f"{sid}.json")
-        lock = os.path.join(self.root, "manifest.lock")
-        fd = None
-        for _ in range(100):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)  # crashed writer; steal
-                        continue
-                except OSError:
-                    continue  # raced with the holder's release
-                time.sleep(0.05)
-        if fd is None:
-            raise CommitConflict(
-                f"could not acquire {lock} — another writer is mid-commit"
-            )
-        try:
-            mp = self._manifest_path()
-            current = None
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    current = json.load(f)["snapshot"]
-            expected = snapshot.get("parent")
-            if current != expected:
-                raise CommitConflict(
-                    f"base snapshot {expected} was superseded by {current}; "
-                    f"re-read the table and redo this merge"
-                )
-            # manifest write happens INSIDE the CAS: a stale racer with the
-            # same next_id must never clobber the winner's committed
-            # snapshots/<sid>.json (the file the pointer references)
-            stmp = spath + f".tmp-{uuid.uuid4().hex}"
-            with open(stmp, "w") as f:
-                json.dump(snapshot, f)
-            os.replace(stmp, spath)
-            tmp = mp + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump({"snapshot": sid}, f)
-            os.replace(tmp, mp)  # atomic pointer swap
-        finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+        self.catalog.commit(snapshot)
 
     def _log_lineage(self, m: MergeMetrics) -> None:
-        with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
-            f.write(json.dumps(m.to_dict()) + "\n")
+        self.catalog.log_lineage(m.to_dict())
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Delete snapshot manifests — and the data directories no retained
@@ -309,16 +482,12 @@ class MergeTable:
         snap = self.current_snapshot()
         if snap is None or keep_last < 1:
             return stats
-        sdir = os.path.join(self.root, "snapshots")
-        ids = sorted(
-            int(f[:-5]) for f in os.listdir(sdir) if f.endswith(".json")
-        )
+        ids = self.catalog.snapshot_ids()
         cur = snap["id"]
         retained = {i for i in ids if cur - keep_last < i <= cur}
         referenced: set[str] = set()
         for i in sorted(retained):
-            with open(os.path.join(sdir, f"{i}.json")) as f:
-                s = json.load(f)
+            s = self.catalog.snapshot_at(i)
             for plist in s["buckets"].values():
                 referenced.update(os.path.normpath(p) for p in plist)
         data_root = os.path.join(self.root, "data")
@@ -339,7 +508,7 @@ class MergeTable:
                 shutil.rmtree(dpath, ignore_errors=True)
         for i in ids:
             if i not in retained:
-                os.remove(os.path.join(sdir, f"{i}.json"))
+                self.catalog.remove_snapshot(i)
                 stats["snapshots_removed"] += 1
         return stats
 
@@ -413,27 +582,60 @@ class MergeTable:
             df = self._resolve_winners(df)
         return self._drop_tombstones(df.drop(_SNAP_COL))
 
+    def _delete_pred(self, df: DataFrame):
+        """``delete_where`` as a null-safe boolean Column bound to ``df``,
+        or None when ``df`` carries no binding for it (pre-evolution files
+        read the op column as absent — nothing can be a tombstone yet).
+        Only AnalysisException falls back; execution errors and type errors
+        propagate loudly, and ALL three consumers (read, changes_since,
+        purge) degrade identically instead of one raising and two
+        swallowing (round-3 advice)."""
+        if self.delete_where is None:
+            return None
+        pred = F.coalesce(F.expr(self.delete_where), F.lit(False))
+        try:
+            df.select(pred)  # analysis-only probe: no job runs
+        except AnalysisException:
+            return None
+        return pred
+
     def _drop_tombstones(self, df: DataFrame) -> DataFrame:
         """Hide CDC-deleted rows from the visible state (see delete_where).
         Runs AFTER winner resolution: only a key whose *latest* row is a
         tombstone disappears. coalesce(False) keeps rows where the
         predicate is NULL (pre-evolution files lacking the op column)."""
-        if self.delete_where is None:
-            return df
-        try:
-            return df.filter(~F.coalesce(F.expr(self.delete_where), F.lit(False)))
-        except Exception:
-            # no file carries the op column yet (pre-evolution table):
-            # nothing can be a tombstone
-            return df
+        is_del = self._delete_pred(df)
+        return df if is_del is None else df.filter(~is_del)
 
-    def changes_since(self, snapshot_id: int) -> DataFrame:
+    def _snapshot_dir_id(self, path: str) -> int:
+        """Snapshot id that wrote a data path, parsed from the path segment
+        DIRECTLY UNDER the table's data dir. (A leftmost regex over the
+        absolute path misparses table roots that themselves contain an
+        ``/s<digits>…/`` segment — e.g. ``/mnt/s3-cache/…`` — resolving
+        every file to the root's number and silently emptying
+        ``changes_since``; round-3 advice.) Unparseable paths return a
+        +inf sentinel so pruning degrades to scanning, never to dropping
+        changes."""
+        data_root = os.path.normpath(os.path.join(self.root, "data"))
+        rel = os.path.relpath(os.path.normpath(path), data_root)
+        seg = rel.replace(os.sep, "/").split("/", 1)[0]
+        m = re.match(r"s(\d+)(?:-.*)?$", seg)
+        return int(m.group(1)) if m else 1 << 62
+
+    def changes_since(self, snapshot_id: int, as_of: int | None = None) -> DataFrame:
         """Net row-level changes committed AFTER ``snapshot_id`` — the
         CDC-out / incremental-consumption surface (Iceberg's incremental
         scan): each key that changed appears ONCE with its current row,
         plus ``_change_type`` = 'upsert' | 'delete' (tombstones are
         INCLUDED here — downstream consumers must see deletes — unlike
         ``read()``, which hides them).
+
+        ``as_of`` pins the read to a specific retained snapshot, giving a
+        closed range (snapshot_id, as_of] — the consumer-side contract
+        ``CdcRelay`` needs (it names each shipped delta by the snapshot it
+        read; an unpinned read could include rows from commits that land
+        mid-poll and double-ship them; round-3 advice). Default: the
+        current snapshot.
 
         Works because every row persists the snapshot id that wrote it
         (``__snap``), and winner resolution keeps the winner's own id: a
@@ -442,16 +644,10 @@ class MergeTable:
         pruned from the scan by path (file dirs are ``s<id>/``), so the
         cost scales with changed buckets, not table size.
         """
-        import re as _re
-
-        snap = self.current_snapshot()
+        snap = self.current_snapshot() if as_of is None else self.snapshot_at(as_of)
         empty_schema = ", ".join(f"`{k}` string" for k in self.merge_keys)
         if snap is None or snapshot_id >= snap["id"]:
             return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
-
-        def _dir_id(path: str) -> int:
-            m = _re.search(r"[/\\]s(\d+)(?:-[A-Za-z0-9-]*)?[/\\]", path + "/")
-            return int(m.group(1)) if m else -1
 
         # bucket pruning: a bucket can only hold post-sid winners if SOME
         # of its files were written after sid (conservative for -compact
@@ -459,7 +655,7 @@ class MergeTable:
         wanted = {
             b: plist
             for b, plist in snap["buckets"].items()
-            if any(_dir_id(p) > snapshot_id for p in plist)
+            if any(self._snapshot_dir_id(p) > snapshot_id for p in plist)
         }
         paths = sorted({p for plist in wanted.values() for p in plist})
         if not paths:
@@ -469,9 +665,8 @@ class MergeTable:
             return self.spark.createDataFrame([], empty_schema + ", `_change_type` string")
         df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
         out = self._resolve_winners(df).filter(F.col(_SNAP_COL) > snapshot_id)
-        if self.delete_where is not None:
-            is_del = F.coalesce(F.expr(self.delete_where), F.lit(False))
-        else:
+        is_del = self._delete_pred(out)
+        if is_del is None:
             is_del = F.lit(False)
         return out.withColumn(
             "_change_type", F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert"))
@@ -507,19 +702,18 @@ class MergeTable:
         if _SNAP_COL not in df.columns:
             return stats
         df = df.withColumn(_BUCKET_COL, self._bucket_expr(df))
-        try:
-            is_del = F.coalesce(F.expr(self.delete_where), F.lit(False))
-            purgeable = is_del & (F.col(self.order_col) < F.lit(below_seq))
-            # bounded collect: at most n_buckets rows
-            hit = (
-                df.filter(purgeable)
-                .select(_BUCKET_COL)
-                .groupBy(_BUCKET_COL)
-                .count()
-                .collect()
-            )
-        except Exception:
+        is_del = self._delete_pred(df)
+        if is_del is None:
             return stats  # no file carries the op column yet: no tombstones
+        purgeable = is_del & (F.col(self.order_col) < F.lit(below_seq))
+        # bounded collect: at most n_buckets rows
+        hit = (
+            df.filter(purgeable)
+            .select(_BUCKET_COL)
+            .groupBy(_BUCKET_COL)
+            .count()
+            .collect()
+        )
         if not hit:
             return stats
         touched = sorted(int(r[0]) for r in hit)
@@ -563,10 +757,17 @@ class MergeTable:
         )
         return sorted(int(r[0]) for r in rows)
 
-    def latest_state(self, keys: Sequence[str] = ("repo", "path")) -> DataFrame:
+    def latest_state(self, keys: Sequence[str] | None = None) -> DataFrame:
         """Latest row per (sub)key by order_col — the 'current file content'
-        view (the reference's wallet/token current-state collections)."""
-        w = Window.partitionBy(*keys).orderBy(F.col(self.order_col).desc(), F.col("commit").desc())
+        view (the reference's wallet/token current-state collections).
+        Defaults to the table's own merge keys minus the last (version)
+        component, tie-broken by the remaining merge-key columns — so a
+        table opened via ``MergeTable.open`` gets a correct view without
+        the caller hard-coding repo/path/commit."""
+        if keys is None:
+            keys = self.merge_keys[:-1] if len(self.merge_keys) > 1 else self.merge_keys
+        tie = [F.col(c).desc() for c in self.merge_keys if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(F.col(self.order_col).desc(), *tie)
         return (
             self.read()
             .withColumn(_RN_COL, F.row_number().over(w))
@@ -689,6 +890,7 @@ class MergeTable:
             "order_col": self.order_col,
             "n_buckets": self.n_buckets,
             "merge_salts": self.merge_salts,
+            "delete_where": self.delete_where,
         }
         self._commit(snapshot)
         if self.auto_expire_keep is not None:

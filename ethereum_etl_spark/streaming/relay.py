@@ -10,12 +10,17 @@ table without ever re-reading it (the consumer contract is pinned by
 ``test_incremental_consumer_reconstructs_state``).
 
 Crash safety / exactly-once: delta directories are named by their
-snapshot range and written with overwrite mode, and the cursor file is
+snapshot range and written with overwrite mode, the read is PINNED to the
+snapshot captured at poll start (``changes_since(last, as_of=...)`` — a
+writer committing mid-poll can neither leak later rows into this delta
+nor cause them to be re-shipped next poll), and the cursor file is
 swapped atomically AFTER the write — a crash between the two re-produces
-the same directory idempotently on the next poll (or a superset range if
-the table advanced; the stale partial dir is then orphaned). A delta dir
-is therefore committed iff its range-end is <= the cursor value —
-consumers must treat the cursor file as the source of truth, mirroring
+the same directory idempotently on the next poll. A delta dir is
+therefore committed iff its range-end is <= the cursor value; dirs whose
+range-end EXCEEDS the cursor are crash orphans (written but never
+cursor-committed) and are reclaimed by the next ``poll_once`` before it
+writes, so a long-lived relay cannot accumulate dead partial output.
+Consumers must treat the cursor file as the source of truth, mirroring
 how MergeTable's own manifest pointer governs its data dirs.
 """
 
@@ -23,6 +28,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import uuid
 
 from ..plans.merge import MergeTable
@@ -48,16 +55,32 @@ class CdcRelay:
             json.dump({"snapshot": snapshot_id}, f)
         os.replace(tmp, self.cursor_path)
 
+    def sweep_orphans(self) -> list[str]:
+        """Delete delta dirs whose range-end exceeds the cursor — the
+        crash-between-write-and-cursor-commit leftovers (never committed,
+        so no consumer may have read them). Returns the removed names."""
+        cursor = self.cursor()
+        removed = []
+        for d in sorted(os.listdir(self.out_dir)):
+            m = re.fullmatch(r"delta-(\d+)-(\d+)", d)
+            if m and int(m.group(2)) > cursor:
+                shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+                removed.append(d)
+        return removed
+
     def poll_once(self) -> dict | None:
         """Ship one delta if the table advanced; None when caught up."""
         snap = self.table.current_snapshot()
         last = self.cursor()
         if snap is None or snap["id"] <= last:
             return None
+        self.sweep_orphans()
         dest = os.path.join(
             self.out_dir, f"delta-{last + 1:06d}-{snap['id']:06d}"
         )
-        delta = self.table.changes_since(last).drop("__bucket")
+        # pin to the snapshot captured above: rows from commits landing
+        # mid-poll belong to the NEXT delta, not this one
+        delta = self.table.changes_since(last, as_of=snap["id"]).drop("__bucket")
         delta.write.mode("overwrite").parquet(dest)
         self._commit_cursor(snap["id"])
         return {"from_snapshot": last, "to_snapshot": snap["id"], "out": dest}
