@@ -166,6 +166,16 @@ def main() -> None:
     churn_batch = max(n_rows // 80, 10)
     churn_reads: list[float] = []
     max_chain = 0
+    # ---- CdcRelay rides the same churn stream: one poll per micro-batch
+    # ships that batch's net delta to a parquet inbox. The scale evidence is
+    # O(churn) ship cost: per-poll wall time stays flat and shipped rows
+    # track the batch size as the table grows 24x across the stream.
+    from ethereum_etl_spark.streaming.relay import CdcRelay
+
+    relay_out = _tmpdir(prefix="bench_relay_")
+    relay = CdcRelay(churn, relay_out, os.path.join(relay_out, "cursor.json"))
+    relay_polls: list[float] = []
+    relay_rows = 0
     t0 = time.time()
     for i in range(n_churn):
         start = i * churn_batch
@@ -177,6 +187,13 @@ def main() -> None:
         max_chain = max(
             max_chain, max((len(v) for v in snap["buckets"].values()), default=0)
         )
+        tp = time.time()
+        shipped = relay.poll_once()
+        relay_polls.append(round(time.time() - tp, 3))
+        assert shipped is not None
+        relay_rows += spark.read.parquet(shipped["out"]).count()
+        relay_overhead = time.time() - tp  # keep churn_sec comparable to r3
+        t0 += relay_overhead
         if (i + 1) % 6 == 0:
             tr = time.time()
             churn.read().count()
@@ -264,6 +281,14 @@ def main() -> None:
                 "max_delta_chain_files": max_chain,
                 "compact_threshold": churn.compact_threshold,
                 "data_dirs_after_expiry": churn_data_dirs,
+            },
+            "cdc_relay": {
+                "polls": len(relay_polls),
+                "poll_sec_each": relay_polls,
+                "poll_sec_avg": round(sum(relay_polls) / len(relay_polls), 3),
+                "poll_sec_max": round(max(relay_polls), 3),
+                "shipped_rows_total": relay_rows,
+                "events_ingested": n_churn * churn_batch,
             },
             "salted_merge_demo": {
                 "events": n_rows,
