@@ -164,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--delete-where", default=None,
                     help="SQL bool marking CDC DELETE rows "
                     "(default: from the table's snapshot manifest)")
+    ch.add_argument("--as-of", type=int, default=None,
+                    help="pin the read to a retained snapshot id: exports "
+                    "the closed range (snapshot, as-of] even if writers "
+                    "commit mid-export (default: current snapshot)")
 
     hist = sub.add_parser(
         "history", help="list retained snapshots (valid time-travel/CDC cursors)"
@@ -179,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
     vac.add_argument("--keep-last", type=int, default=2)
     vac.add_argument("--buckets", type=int, default=None,
                      help="(default: from the table's snapshot manifest)")
+
+    fsck = sub.add_parser(
+        "fsck", help="verify table integrity (manifest chain, referenced "
+        "files, orphan attempt dirs) without running Spark jobs"
+    )
+    fsck.add_argument("--table", required=True)
 
     for entity in _EXPORT_ENTITIES:
         e = sub.add_parser(
@@ -221,12 +231,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"out": args.out}))
     elif args.cmd == "changes-since":
         t = _open_table(spark, args)
-        delta = t.changes_since(args.snapshot).drop("__bucket")
+        delta = t.changes_since(args.snapshot, as_of=args.as_of).drop("__bucket")
         delta.write.mode("overwrite").parquet(args.out)
         cur = t.current_snapshot()
         print(json.dumps({
             "out": args.out,
             "since_snapshot": args.snapshot,
+            "as_of": args.as_of,
             "current_snapshot": cur["id"] if cur else None,
         }))
     elif args.cmd == "history":
@@ -234,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "vacuum":
         stats = _open_table(spark, args).expire_snapshots(keep_last=args.keep_last)
         print(json.dumps(stats))
+    elif args.cmd == "fsck":
+        report = _open_table(spark, args).verify_integrity()
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
     elif args.cmd.startswith("export-"):
         print(json.dumps(_export_entity(spark, args)))
     return 0

@@ -462,6 +462,86 @@ class MergeTable:
     def _log_lineage(self, m: MergeMetrics) -> None:
         self.catalog.log_lineage(m.to_dict())
 
+    def verify_integrity(self) -> dict:
+        """Offline consistency check (the table 'fsck'): verifies the
+        invariants the commit protocol promises, without running a single
+        Spark job. Returns a report dict; ``ok`` is False iff a promise is
+        BROKEN (missing referenced files, broken parent chain, shrinking
+        batch sets). Unreferenced data dirs are NOT failures — they are the
+        expected debris of crashed/lost OCC attempts, listed as
+        ``orphan_dirs`` (reclaimed by ``expire_snapshots``).
+
+        Run it after a crash, before trusting a restored backup, or as a
+        periodic janitor assertion alongside the relay.
+        """
+        report: dict = {
+            "ok": True, "issues": [], "snapshots": 0,
+            "missing_paths": [], "orphan_dirs": [], "current_snapshot": None,
+        }
+
+        def bad(msg: str) -> None:
+            report["ok"] = False
+            report["issues"].append(msg)
+
+        try:
+            cur = self.current_snapshot()
+        except Exception as exc:  # unreadable pointer/manifest
+            bad(f"current snapshot unreadable: {exc}")
+            return report
+        if cur is None:
+            return report  # empty table: trivially consistent
+        report["current_snapshot"] = cur["id"]
+
+        ids = self.catalog.snapshot_ids()
+        if cur["id"] not in ids:
+            bad(f"pointer names snapshot {cur['id']} but its manifest is missing")
+        # a manifest beyond the pointer is a crash between snapshot write
+        # and pointer swap — benign debris (the next commit overwrites it),
+        # but reported so time-travel readers don't trust it as committed
+        report["dangling_snapshots"] = [i for i in ids if i > cur["id"]]
+        ids = [i for i in ids if i <= cur["id"]]
+        report["snapshots"] = len(ids)
+
+        referenced: set[str] = set()
+        prev_batches: set[str] | None = None
+        prev_id: int | None = None
+        for i in sorted(ids):
+            s = self.catalog.snapshot_at(i)
+            if s["id"] != i:
+                bad(f"snapshot file {i}.json carries id {s['id']}")
+            # parent chain: each retained snapshot's parent is the previous
+            # retained id (or expired, for the oldest retained)
+            if prev_id is not None and s.get("parent") != prev_id:
+                bad(f"snapshot {i} parent={s.get('parent')}, expected {prev_id}")
+            # committed batches only grow along the chain (idempotence set)
+            batches = set(s.get("committed_batches", []))
+            if prev_batches is not None and not prev_batches <= batches:
+                bad(f"snapshot {i} dropped committed batches "
+                    f"{sorted(prev_batches - batches)}")
+            prev_batches, prev_id = batches, i
+            for plist in s["buckets"].values():
+                referenced.update(os.path.normpath(p) for p in plist)
+
+        for p in sorted(referenced):
+            if not os.path.isdir(p):
+                report["missing_paths"].append(p)
+                bad(f"referenced data path missing: {p}")
+
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                dpath = os.path.join(data_root, d)
+                if not os.path.isdir(dpath):
+                    continue
+                bdirs = [
+                    os.path.normpath(os.path.join(dpath, b))
+                    for b in os.listdir(dpath)
+                    if os.path.isdir(os.path.join(dpath, b))
+                ]
+                if bdirs and not any(b in referenced for b in bdirs):
+                    report["orphan_dirs"].append(d)
+        return report
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Delete snapshot manifests — and the data directories no retained
         snapshot references — the Iceberg ``expire_snapshots`` + ``vacuum``
@@ -777,13 +857,34 @@ class MergeTable:
 
     # ---------------- merge (the upsert) ----------------
 
-    def merge(self, batch: DataFrame, batch_id: str) -> MergeMetrics:
+    def merge(
+        self, batch: DataFrame, batch_id: str, conflict_retries: int = 0
+    ) -> MergeMetrics:
         """MERGE batch INTO table ON merge_keys, latest-order_col-wins.
 
         Idempotent per ``batch_id`` AND per key: re-merging a committed batch
         is a pointer-level no-op; re-merging the same *rows* under a new
         batch_id converges to the same state (dedup on merge keys).
+
+        ``conflict_retries``: how many times to redo the merge against a
+        freshly-read base when another writer commits first
+        (``CommitConflict``). Each retry recomputes winner resolution
+        against the new current snapshot — an OCC loser can NEVER just
+        re-point its stale files (they resolved against superseded state) —
+        and the losing attempt's data dirs are reclaimed eagerly. Default 0
+        (single-writer replay/stream paths surface the conflict loudly);
+        concurrent multi-writer ingest passes a small positive number.
         """
+        attempt = 0
+        while True:
+            try:
+                return self._merge_once(batch, batch_id)
+            except CommitConflict:
+                if attempt >= conflict_retries:
+                    raise
+                attempt += 1
+
+    def _merge_once(self, batch: DataFrame, batch_id: str) -> MergeMetrics:
         t0 = time.time()
         snap = self.current_snapshot()
         committed = set(snap["committed_batches"]) if snap else set()
@@ -846,6 +947,7 @@ class MergeTable:
         #    exchanged on the bucket column, so partitionBy writes straight
         #    out of the window's partitioning — no second shuffle
         out_dir = os.path.join(self.root, "data", f"s{next_id:06d}-{self._attempt_token()}")
+        attempt_dirs = [out_dir]
         obs = Observation()
         resolved = resolved.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         resolved.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
@@ -875,6 +977,7 @@ class MergeTable:
                     cdf = cdf.withColumn(_SNAP_COL, F.lit(-1))
                 compacted = self._resolve_winners(cdf)
                 cdir = os.path.join(self.root, "data", f"s{next_id:06d}-compact-{self._attempt_token()}")
+                attempt_dirs.append(cdir)
                 compacted.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(cdir)
                 for b in overlong:
                     bpath = os.path.join(cdir, f"{_BUCKET_COL}={b}")
@@ -892,7 +995,18 @@ class MergeTable:
             "merge_salts": self.merge_salts,
             "delete_where": self.delete_where,
         }
-        self._commit(snapshot)
+        try:
+            self._commit(snapshot)
+        except CommitConflict:
+            # this attempt lost the OCC race: its files resolved winners
+            # against a superseded base and are referenced by no snapshot
+            # (unique attempt-token dirs) — reclaim them now instead of
+            # waiting for expire_snapshots
+            import shutil
+
+            for d in attempt_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            raise
         if self.auto_expire_keep is not None:
             self.expire_snapshots(keep_last=self.auto_expire_keep)
 

@@ -358,3 +358,117 @@ def test_cli_latest_state_uses_manifest_config(spark, tmp_path, capsys):
     assert rows == {"a1": "20", "a2": "5"}
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["out"] == out
+
+
+# ---------------- OCC merge retry + table fsck ----------------
+
+def _batch(spark, i, n=10):
+    rows = [(i * 1000 + j, f"r{j % 3}", f"f{j}.py", f"c{i}_{j}", f"v{i}") for j in range(n)]
+    return spark.createDataFrame(
+        rows, "seq long, repo string, path string, commit string, content string"
+    )
+
+
+class TestMergeConflictRetry:
+    def test_retry_recomputes_against_new_base(self, spark, tmp_path, monkeypatch):
+        """An OCC loser with conflict_retries redoes the merge against the
+        racing winner's snapshot — final state contains BOTH writers' rows,
+        and the losing attempt's data dir is reclaimed eagerly."""
+        root = str(tmp_path / "t")
+        t1 = MergeTable(spark, root, n_buckets=4)
+        t2 = MergeTable(spark, root, n_buckets=4)
+        t1.merge(_batch(spark, 0), "b0")
+
+        orig_commit = t2.catalog.commit
+        raced = {"done": False}
+
+        def racy_commit(snapshot):
+            if not raced["done"]:
+                raced["done"] = True
+                t1.merge(_batch(spark, 1), "race")  # lands first -> conflict
+            return orig_commit(snapshot)
+
+        monkeypatch.setattr(t2.catalog, "commit", racy_commit)
+        m = t2.merge(_batch(spark, 2), "b2", conflict_retries=2)
+        assert m.snapshot_id == 2 and not m.noop
+        cur = t2.current_snapshot()
+        assert set(cur["committed_batches"]) == {"b0", "race", "b2"}
+        assert t2.read().count() == 30
+        # losing attempt's dir reclaimed: exactly one data dir per commit
+        data_dirs = os.listdir(os.path.join(root, "data"))
+        assert len(data_dirs) == 3, data_dirs
+
+    def test_no_retry_by_default(self, spark, tmp_path, monkeypatch):
+        from ethereum_etl_spark.plans.merge import CommitConflict
+
+        root = str(tmp_path / "t")
+        t1 = MergeTable(spark, root, n_buckets=4)
+        t2 = MergeTable(spark, root, n_buckets=4)
+        t1.merge(_batch(spark, 0), "b0")
+        orig_commit = t2.catalog.commit
+        raced = {"done": False}
+
+        def racy_commit(snapshot):
+            if not raced["done"]:
+                raced["done"] = True
+                t1.merge(_batch(spark, 1), "race")
+            return orig_commit(snapshot)
+
+        monkeypatch.setattr(t2.catalog, "commit", racy_commit)
+        with pytest.raises(CommitConflict):
+            t2.merge(_batch(spark, 2), "b2")
+
+
+class TestVerifyIntegrity:
+    def test_clean_table_passes(self, spark, tmp_path):
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        assert t.verify_integrity()["ok"]  # empty: trivially consistent
+        for i in range(3):
+            t.merge(_batch(spark, i), f"b{i}")
+        rep = t.verify_integrity()
+        assert rep["ok"] and not rep["issues"]
+        assert rep["snapshots"] == 3 and rep["current_snapshot"] == 2
+        assert rep["orphan_dirs"] == [] and rep["dangling_snapshots"] == []
+
+    def test_orphan_attempt_dir_reported_not_failed(self, spark, tmp_path):
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t.merge(_batch(spark, 0), "b0")
+        os.makedirs(os.path.join(t.root, "data", "s000099-deadbe", "__bucket=0"))
+        rep = t.verify_integrity()
+        assert rep["ok"] and rep["orphan_dirs"] == ["s000099-deadbe"]
+
+    def test_missing_referenced_path_fails(self, spark, tmp_path):
+        import shutil
+
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t.merge(_batch(spark, 0), "b0")
+        victim = next(iter(t.current_snapshot()["buckets"].values()))[0]
+        shutil.rmtree(victim)
+        rep = t.verify_integrity()
+        assert not rep["ok"] and rep["missing_paths"]
+
+    def test_dangling_snapshot_beyond_pointer_reported(self, spark, tmp_path):
+        t = MergeTable(spark, str(tmp_path / "t"), n_buckets=4)
+        t.merge(_batch(spark, 0), "b0")
+        # crash debris: snapshot manifest written, pointer never swapped
+        dangle = dict(t.current_snapshot(), id=1, parent=0)
+        with open(os.path.join(t.root, "snapshots", "1.json"), "w") as f:
+            json.dump(dangle, f)
+        rep = t.verify_integrity()
+        assert rep["ok"] and rep["dangling_snapshots"] == [1]
+
+    def test_cli_fsck_exit_codes(self, spark, tmp_path, capsys):
+        import shutil
+
+        from ethereum_etl_spark import cli
+
+        root = str(tmp_path / "t")
+        t = MergeTable(spark, root, n_buckets=4)
+        t.merge(_batch(spark, 0), "b0")
+        assert cli.main(["fsck", "--table", root]) == 0
+        capsys.readouterr()
+        victim = next(iter(t.current_snapshot()["buckets"].values()))[0]
+        shutil.rmtree(victim)
+        assert cli.main(["fsck", "--table", root]) == 1
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert not rep["ok"] and rep["missing_paths"]
