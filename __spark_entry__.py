@@ -62,6 +62,7 @@ from ethereum_etl_spark.operators.dedup import (
 from ethereum_etl_spark.operators.corpus import (
     contamination_check,
     hash_split,
+    pack_sequences,
     remove_boilerplate_lines,
     split_thresholds,
     top_ngram_stats,
@@ -1494,6 +1495,21 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk into fixed
+    ``max_tokens`` training windows): documents hash into independent
+    packing streams (no global sort — each stream's token tape is one
+    window cumsum over its own partition), boundary-straddling documents
+    split across adjacent packs with exact integer token offsets. Pure
+    integer arithmetic end to end; the oracle runs the same expressions
+    in DuckDB verbatim."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=256, n_streams=8)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _tp(spark, sf_dir, "documents")
@@ -2031,7 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": q_latest_event_per_user,
         "seq_range_by_day": q_seq_range_by_day,
         "daily_checkpoint_gate": q_daily_checkpoint_gate,
-        "purchase_filter_pushdown": q_purchase_filter_pushdown,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         # -- dedup / corpus prep --
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2041,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # ---- position 51+: locally-swept variants and warm-ups ----
+        "purchase_filter_pushdown": q_purchase_filter_pushdown,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -2735,6 +2752,38 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM rep LEFT JOIN (SELECT * FROM tops WHERE rn = 1) tw USING (doc_id)
         """,
         "pii_scrub": _SQL_PII_SCRUB,
+        # sequence packing: same integer tape arithmetic, same md5 stream
+        # hash, same window cumsum — verbatim in DuckDB
+        "corpus_pack_sequences": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {tokens_ws} AS n,
+                     CAST({_sql_hex_to_hugeint(
+                         "substr(md5('pack:' || CAST(doc_id AS VARCHAR)),1,8)", 8
+                     )} % 8 AS BIGINT) AS stream_id
+              FROM documents
+              WHERE {tokens_ws} > 0),
+            cum AS (
+              SELECT *, CAST(sum(n) OVER (
+                     PARTITION BY stream_id ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_end
+              FROM base),
+            spans AS (
+              SELECT doc_id, stream_id, n, cum_end, cum_end - n AS cum_prev
+              FROM cum),
+            packs AS (
+              SELECT doc_id, stream_id, n, cum_prev,
+                     unnest(generate_series(cum_prev // 256,
+                                            (cum_end - 1) // 256)) AS pack_id
+              FROM spans)
+            SELECT stream_id, pack_id::BIGINT AS pack_id, doc_id,
+                   greatest(0, pack_id * 256 - cum_prev)::BIGINT AS doc_from,
+                   least(n, (pack_id + 1) * 256 - cum_prev)::BIGINT AS doc_to,
+                   (cum_prev + greatest(0, pack_id * 256 - cum_prev)
+                    - pack_id * 256)::BIGINT AS pack_offset
+            FROM packs
+        """,
         "lang_id": f"""
             WITH d AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
             s AS (SELECT doc_id, {lang_scores} FROM d)

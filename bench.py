@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "event_sessionize",
     "text_stats",
     "corpus_prep_pipeline",
+    "corpus_pack_sequences",
     "ann_topk_brute",
     "ann_topk_lsh",
     "embedding_near_dup_banded",

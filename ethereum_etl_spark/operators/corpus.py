@@ -203,3 +203,86 @@ def top_ngram_stats(
             "grams_total",
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    n_streams: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents into a token tape
+    and chunk it into fixed ``max_tokens`` training windows (the
+    concat-then-chunk pretraining convention — every pack is exactly full
+    except each stream's last; a document straddling a boundary is SPLIT
+    across the adjacent packs).
+
+    Scale design: documents are first hashed into ``n_streams``
+    INDEPENDENT packing streams (md5 of ``salt || id`` — the same
+    engine-portable rule as ``hash_split``), so there is no global sort
+    and no sequential driver state: each stream's tape is one window
+    cumsum over its own hash partition, embarrassingly parallel in the
+    stream count. At 100 TB you raise ``n_streams`` to the write
+    parallelism you want; determinism is unaffected (stream membership
+    and in-stream order are pure functions of the id). Zero-token
+    documents pack nothing and are dropped.
+
+    Returns one row per (document, pack) overlap:
+
+    - ``stream_id``, ``pack_id`` (within stream) — long
+    - ``id_col`` — the document
+    - ``doc_from`` / ``doc_to`` — the token slice of the document that
+      lands in this pack, ``[from, to)`` offsets within the document
+    - ``pack_offset`` — where that slice begins inside the pack
+
+    Consumers rebuild a pack by sorting its rows on ``pack_offset`` and
+    concatenating token slices; ``sum(doc_to - doc_from)`` per pack ==
+    ``max_tokens`` for every non-final pack. Pure integer arithmetic
+    end to end (exact in any engine — the DuckDB oracle runs the same
+    expressions verbatim).
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if n_streams < 1:
+        raise ValueError("n_streams must be >= 1")
+    sid = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % n_streams
+    )
+    d = df.filter(F.col(n_tokens_col) > 0).select(
+        F.col(id_col),
+        sid.alias("stream_id"),
+        F.col(n_tokens_col).cast("long").alias("_n"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("stream_id")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        d.withColumn("_cum_end", F.sum("_n").over(w))
+        .withColumn("_cum_prev", F.col("_cum_end") - F.col("_n"))
+    )
+    # integer DIV keeps everything exact (no double rounding at any size)
+    first_pack = F.expr(f"_cum_prev DIV {max_tokens}")
+    last_pack = F.expr(f"(_cum_end - 1) DIV {max_tokens}")
+    out = d.withColumn("pack_id", F.explode(F.sequence(first_pack, last_pack)))
+    pack_start = F.col("pack_id") * max_tokens
+    doc_from = F.greatest(F.lit(0).cast("long"), pack_start - F.col("_cum_prev"))
+    doc_to = F.least(F.col("_n"), pack_start + max_tokens - F.col("_cum_prev"))
+    return out.select(
+        "stream_id",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        doc_from.cast("long").alias("doc_from"),
+        doc_to.cast("long").alias("doc_to"),
+        (F.col("_cum_prev") + doc_from - pack_start).cast("long").alias("pack_offset"),
+    )

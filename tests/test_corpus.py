@@ -147,3 +147,71 @@ def test_pii_scrub_and_counts(spark):
     r2 = rows[2]
     assert (r2["email"], r2["ipv4"], r2["phone"]) == (0, 0, 0)
     assert r2["s"] == "nothing sensitive here"
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-then-chunk packing: slices tile each doc exactly; every
+    non-final pack in a stream is exactly full; offsets are consistent."""
+    from collections import defaultdict
+
+    from ethereum_etl_spark.operators.corpus import pack_sequences
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),  # 1..37 tokens
+    )
+    rows = pack_sequences(df, max_tokens=64, n_streams=4).collect()
+
+    # every token of every doc lands exactly once, in order
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["doc_from"] < r["doc_to"]
+        by_doc[r["doc_id"]].append((r["pack_id"], r["doc_from"], r["doc_to"]))
+    n_of = {i: i % 37 + 1 for i in range(300)}
+    assert set(by_doc) == set(n_of)
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0 and spans[-1][2] == n_of[doc]
+        for (_, _, to_a), (_, from_b, _) in zip(spans, spans[1:]):
+            assert to_a == from_b  # contiguous split across packs
+
+    # per (stream, pack): sum of slice lengths == max_tokens except the
+    # stream's last pack; pack_offsets tile [0, fill)
+    by_pack = defaultdict(list)
+    for r in rows:
+        by_pack[(r["stream_id"], r["pack_id"])].append(r)
+    for (sid, pid), prs in by_pack.items():
+        fill = sum(r["doc_to"] - r["doc_from"] for r in prs)
+        last_pack = max(p for s, p in by_pack if s == sid)
+        if pid < last_pack:
+            assert fill == 64, (sid, pid, fill)
+        prs.sort(key=lambda r: r["pack_offset"])
+        pos = 0
+        for r in prs:
+            assert r["pack_offset"] == pos
+            pos += r["doc_to"] - r["doc_from"]
+
+    # deterministic under recomputation and a different partitioning
+    again = pack_sequences(df.repartition(7), max_tokens=64, n_streams=4).collect()
+    key = lambda r: (r["stream_id"], r["pack_id"], r["doc_id"])
+    assert sorted(map(tuple, again), key=lambda t: t) == sorted(
+        map(tuple, rows), key=lambda t: t
+    )
+
+
+def test_pack_sequences_oversized_and_empty_docs(spark):
+    from ethereum_etl_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 200), (2, 0), (3, 5)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences(df, max_tokens=64, n_streams=1).collect()
+    assert not any(r["doc_id"] == 2 for r in rows)  # empty doc packs nothing
+    big = sorted(
+        (r for r in rows if r["doc_id"] == 1),
+        key=lambda r: r["doc_from"],
+    )
+    # 200 tokens straddle ceil(200/64)+1 boundaries depending on tape offset;
+    # slices are <= 64 and tile [0, 200)
+    assert big[0]["doc_from"] == 0 and big[-1]["doc_to"] == 200
+    assert all(r["doc_to"] - r["doc_from"] <= 64 for r in big)
