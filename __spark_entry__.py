@@ -65,6 +65,7 @@ from ethereum_etl_spark.operators.corpus import (
     pack_sequences,
     remove_boilerplate_lines,
     split_thresholds,
+    stratified_sample,
     top_ngram_stats,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
@@ -1510,6 +1511,23 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, max_tokens=256, n_streams=8)
 
 
+# target training mixture: en down-weighted, zh passthrough, es absent
+# from the map -> dropped by default_fraction=0 (all five code paths)
+_MIX_FRACTIONS = {"en": 0.3, "zh": 1.0, "de": 0.8, "fr": 0.5}
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-language subsampling to a target
+    mixture (temperature-sampled multilingual corpus building). A pure
+    hash-threshold filter — zero shuffle, stable under re-runs and corpus
+    growth; the oracle evaluates the identical md5-threshold CASE."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _MIX_FRACTIONS, key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang", "source")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = _tp(spark, sf_dir, "documents")
@@ -2044,10 +2062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wallet_balance_fold": q_wallet_balance_fold,
         "running_balance": q_running_balance,
         "prev_value_asof": q_prev_value_asof,
-        "latest_event_per_user": q_latest_event_per_user,
         "seq_range_by_day": q_seq_range_by_day,
         "daily_checkpoint_gate": q_daily_checkpoint_gate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_mix_sample": q_corpus_mix_sample,
         # -- dedup / corpus prep --
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2057,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # ---- position 51+: locally-swept variants and warm-ups ----
+        "latest_event_per_user": q_latest_event_per_user,
         "purchase_filter_pushdown": q_purchase_filter_pushdown,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_simhash": q_dedup_simhash,
@@ -2752,6 +2771,18 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM rep LEFT JOIN (SELECT * FROM tops WHERE rn = 1) tw USING (doc_id)
         """,
         "pii_scrub": _SQL_PII_SCRUB,
+        # corpus mixing: identical md5-threshold CASE in DuckDB (strict <
+        # against 8-hex bounds; 'g0000000' = keep-all sentinel above hex)
+        "corpus_mix_sample": (lambda bounds: f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang {bounds} ELSE '00000000' END
+        """)(" ".join(
+            f"WHEN '{g}' THEN "
+            + ("'g0000000'" if f >= 1.0
+               else f"'{format(min(max(int(f * 16**8), 0), 16**8 - 1), '08x')}'")
+            for g, f in _MIX_FRACTIONS.items()
+        )),
         # sequence packing: same integer tape arithmetic, same md5 stream
         # hash, same window cumsum — verbatim in DuckDB
         "corpus_pack_sequences": f"""

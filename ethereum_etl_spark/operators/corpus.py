@@ -286,3 +286,53 @@ def pack_sequences(
         doc_to.cast("long").alias("doc_to"),
         (F.col("_cum_prev") + doc_from - pack_start).cast("long").alias("pack_offset"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    salt: str = "mix",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group subsampling — the corpus-MIXING primitive
+    (down-weight over-represented languages/domains to hit a target
+    training mixture, a la temperature-sampled multilingual corpora).
+
+    Keep a row iff ``md5(salt || key)``'s first 8 hex digits fall below the
+    group's fraction threshold. Same guarantees as ``hash_split``: pure
+    projection (zero shuffle, zero state), stable under re-runs/backfills/
+    corpus growth (a kept row stays kept), re-rolled only by changing
+    ``salt`` — and the SAME key hashed under different salts gives
+    independent decisions for split vs mix. Groups absent from
+    ``fractions`` keep ``default_fraction`` (0 = drop unknown groups;
+    1 = pass through).
+
+    At 100 TB this is a filter pushed into the scan — sampling to a target
+    mixture costs zero beyond the read, vs. the shuffle a groupBy-based
+    sampler would pay.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    def _bound(f: float) -> str:
+        # strict `<` below: f=0.0 -> "00000000" drops everything; f=1.0 ->
+        # "g0000000" (lexicographically above every hex hash) keeps
+        # everything — exact at both endpoints, no 1-in-2^32 edge
+        return "g0000000" if f >= 1.0 else _hex8(int(f * _HEX_SPACE))
+
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8
+    )
+    thresh = None
+    for g, f in fractions.items():
+        cond = F.col(group_col) == g
+        bound = F.lit(_bound(f))
+        thresh = F.when(cond, bound) if thresh is None else thresh.when(cond, bound)
+    default_bound = F.lit(_bound(default_fraction))
+    thresh = thresh.otherwise(default_bound) if thresh is not None else default_bound
+    # lexicographic compare of equal-length lowercase hex == numeric compare
+    return df.filter(h < thresh)

@@ -215,3 +215,55 @@ def test_pack_sequences_oversized_and_empty_docs(spark):
     # slices are <= 64 and tile [0, 200)
     assert big[0]["doc_from"] == 0 and big[-1]["doc_to"] == 200
     assert all(r["doc_to"] - r["doc_from"] <= 64 for r in big)
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    from ethereum_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "de")
+        .when(F.col("id") % 4 == 2, "fr")
+        .otherwise("es")
+        .alias("lang"),
+    )
+    fr = {"en": 0.25, "de": 1.0, "fr": 0.0}
+    kept = {r["doc_id"] for r in stratified_sample(df, "lang", fr, "doc_id").collect()}
+    again = {r["doc_id"] for r in stratified_sample(df, "lang", fr, "doc_id").collect()}
+    assert kept == again
+    # endpoints exact: de fully kept, fr fully dropped, es (absent) dropped
+    assert all(i in kept for i in range(1, 4000, 4))
+    assert not any(i in kept for i in range(2, 4000, 4))
+    assert not any(i in kept for i in range(3, 4000, 4))
+    # en roughly a quarter
+    n_en = sum(1 for i in kept if i % 4 == 0)
+    assert 0.17 < n_en / 1000 < 0.33
+    # stability under corpus growth: kept rows never migrate
+    sub = {r["doc_id"] for r in stratified_sample(
+        df.filter("doc_id < 1000"), "lang", fr, "doc_id").collect()}
+    assert sub == {i for i in kept if i < 1000}
+    # default_fraction=1.0 passes unknown groups through
+    all_es = stratified_sample(
+        df.filter("lang = 'es'"), "lang", {"en": 0.5}, "doc_id",
+        default_fraction=1.0,
+    ).count()
+    assert all_es == 1000
+    # independent decisions under a different salt
+    other = {r["doc_id"] for r in stratified_sample(
+        df, "lang", fr, "doc_id", salt="mix2").collect()}
+    en_kept = {i for i in kept if i % 4 == 0}
+    en_other = {i for i in other if i % 4 == 0}
+    assert en_kept != en_other
+
+
+def test_stratified_sample_validates_fractions(spark):
+    import pytest as _pytest
+
+    from ethereum_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_fraction=-0.1)
