@@ -303,12 +303,39 @@ def _cached_frames_array(struct_depth: int):
     return _frames_array(F.col("_node"), F.lit(""), 0, struct_depth)
 
 
+def _sampled_depth_bound(
+    traces: DataFrame, trace_col: str, cap: int, sample_rows: int = 100_000
+) -> int:
+    """Safe struct-schema depth from the data: along any root-to-leaf path
+    of depth d there are d-1 nested ``"calls"`` arrays, so
+    ``regexp_count(json, '"calls"') + 1`` is an upper bound on that tree's
+    depth (it counts ALL branches, so it only ever overshoots — and
+    overshoot is clamped at ``cap``, today's fixed default). Estimated on a
+    LIMIT sample (an early-stopping scan, trivial even at 100 TB); rows
+    outside the sample that are deeper than the bound are NOT wrong — they
+    take the string-loop spill path, which is row-identical. The payoff is
+    plan cost: the generated from_json + transform/flatten expression grows
+    with schema depth, and codegen of the depth-16 schema costs ~7-14 s of
+    driver CPU where a depth-4 corpus needs ~1 s."""
+    hit = (
+        traces.select(
+            F.regexp_count(F.col(trace_col), F.lit('"calls"')).alias("_c")
+        )
+        .limit(sample_rows)
+        .agg(F.max("_c"))
+        .first()[0]
+    )
+    if hit is None:
+        return 2
+    return max(2, min(cap, int(hit) + 1))
+
+
 def flatten_geth_traces_structured(
     traces: DataFrame,
     trace_col: str = "trace_json",
     block_col: str = "block_number",
     tx_col: str = "transaction_hash",
-    struct_depth: int = 16,
+    struct_depth: int | str = "auto",
     max_depth: int = 1024,
     materialize: bool = True,
 ) -> DataFrame:
@@ -331,9 +358,17 @@ def flatten_geth_traces_structured(
     pushed-filter probe against the materialized output) continued through
     the level-by-level string loop. Identical output to the kernel on any
     input.
+
+    ``struct_depth="auto"`` (default) sizes the schema from a sampled
+    ``"calls"``-count upper bound (see ``_sampled_depth_bound``): shallow
+    corpora get a shallow schema — 7-14x cheaper plan codegen — while
+    deeper-than-sampled rows still land on the spill loop, output
+    unchanged. Pass an int to pin the depth (16 = the old fixed default).
     """
-    if struct_depth < 1:
-        raise ValueError("struct_depth must be >= 1")
+    if struct_depth == "auto":
+        struct_depth = _sampled_depth_bound(traces, trace_col, cap=16)
+    if not isinstance(struct_depth, int) or struct_depth < 1:
+        raise ValueError("struct_depth must be >= 1 or 'auto'")
     root_ddl = (
         f"{_SCALAR_FIELDS.replace(':', '')}, "
         + (

@@ -97,3 +97,35 @@ def test_genesis_synthetic_rows(spark):
     assert len(rows) == 2
     assert all(r["block_number"] == 0 and r["trace_type"] == "genesis" for r in rows)
     assert {r["to_address"] for r in rows} == {"0xab", "0xcd"}
+
+
+def test_sampled_depth_bound_safe_and_clamped(spark):
+    """auto struct_depth: the '"calls"'-count bound never undershoots a
+    tree's real depth (count >= depth-1 along any path), clamps to [2,16],
+    and an empty/null corpus falls back to the floor."""
+    from ethereum_etl_spark.operators.traces import _sampled_depth_bound
+
+    flat = spark.createDataFrame(
+        [(1, "0xa", json.dumps({"type": "CALL"}))],
+        "block_number long, transaction_hash string, trace_json string",
+    )
+    assert _sampled_depth_bound(flat, "trace_json", 16) == 2  # floor
+
+    node = {"type": "CALL"}
+    for _ in range(30):  # 31-deep chain -> bound must clamp at the cap
+        node = {"type": "CALL", "calls": [node]}
+    deep = spark.createDataFrame(
+        [(1, "0xa", json.dumps(node))],
+        "block_number long, transaction_hash string, trace_json string",
+    )
+    assert _sampled_depth_bound(deep, "trace_json", 16) == 16
+
+    empty = flat.filter("block_number < 0")
+    assert _sampled_depth_bound(empty, "trace_json", 16) == 2
+    # auto on the deep chain still flattens identically (spill covers the
+    # clamped depth overflow)
+    a = sorted(tuple(r) for r in flatten_geth_traces(deep).collect())
+    b = sorted(
+        tuple(r) for r in flatten_geth_traces_structured(deep).collect()
+    )
+    assert a == b and len(a) == 31
