@@ -77,6 +77,7 @@ from ethereum_etl_spark.operators.multimodal import (
     synthesize_media,
 )
 from ethereum_etl_spark.operators.similarity import (
+    ann_topk_quantized,
     brute_force_topk,
     cosine_portable,
     embedding_near_dup_pairs,
@@ -1548,6 +1549,26 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantize-then-rerank ANN (the memory/bandwidth scale path):
+    symmetric per-vector quantization (round(127*v/max|v|) — IEEE-exact in
+    any engine), integer-dot cosine ranks all pairs cheaply, the top-4k
+    candidate set is reranked with the exact portable cosine. The oracle
+    replays the identical quantization + candidate selection + rerank."""
+    _utc(spark)
+    emb = _tp(spark, sf_dir, "embeddings")
+    out = ann_topk_quantized(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, rerank=20,
+        score_fn=cosine_portable,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("rnk"),
+        F.col("cos_sim").cast("decimal(18,4)").cast("string").alias("cos_sim"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = _tp(spark, sf_dir, "embeddings")
@@ -2035,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ANN / similarity --
         "kmeans_ivf_train": q_kmeans_ivf_train,
         "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_quantized": q_ann_topk_quantized,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2060,7 +2082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_metadata_enrich": q_token_metadata_enrich,
         # -- stateful aggregation / windows --
         "wallet_balance_fold": q_wallet_balance_fold,
-        "running_balance": q_running_balance,
         "prev_value_asof": q_prev_value_asof,
         "seq_range_by_day": q_seq_range_by_day,
         "daily_checkpoint_gate": q_daily_checkpoint_gate,
@@ -2075,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # ---- position 51+: locally-swept variants and warm-ups ----
+        "running_balance": q_running_balance,
         "latest_event_per_user": q_latest_event_per_user,
         "purchase_filter_pushdown": q_purchase_filter_pushdown,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
@@ -2889,6 +2911,52 @@ def _oracle_sql_base() -> dict[str, str]:
             ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
                            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
                        FROM scored)
+            SELECT query_id, neighbor_id, rnk,
+                   CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
+            FROM ranked WHERE rnk <= 5
+        """,
+        # int8 quantize -> integer-dot candidate ranking -> exact rerank:
+        # the quantization (IEEE double mul/div + half-away-from-zero
+        # round) and the integer sums are bit-identical across engines,
+        # so the candidate set — not just the final scores — must match
+        "ann_topk_quantized": f"""
+            WITH sc AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))) AS s
+              FROM embeddings),
+            qz AS (
+              SELECT vec_id, embedding,
+                     list_transform(embedding, x ->
+                         CASE WHEN s > 0
+                              THEN CAST(round(127.0 * x::DOUBLE / s) AS INTEGER)
+                              ELSE 0 END) AS qv
+              FROM sc),
+            qs AS (SELECT vec_id AS query_id, embedding AS qemb, qv AS qqv
+                   FROM qz WHERE vec_id < 3),
+            scored AS (
+              SELECT qs.query_id, c.vec_id AS neighbor_id,
+                     c.embedding AS nemb,
+                     CAST(list_sum(list_transform(c.qv,
+                         (x,i) -> CAST(x * qs.qqv[i] AS BIGINT))) AS DOUBLE)
+                     / (sqrt(CAST(list_sum(list_transform(c.qv,
+                            x -> CAST(x * x AS BIGINT))) AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(qs.qqv,
+                            x -> CAST(x * x AS BIGINT))) AS DOUBLE))) AS qcos
+              FROM qz c, qs WHERE c.vec_id <> qs.query_id),
+            cand AS (
+              SELECT query_id, neighbor_id, nemb, row_number() OVER (
+                  PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS qrnk
+              FROM scored),
+            exact AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     {_sql_cos("cand.nemb", "qs.qemb")} AS cos
+              FROM cand JOIN qs ON cand.query_id = qs.query_id
+              WHERE cand.qrnk <= 20),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM exact)
             SELECT query_id, neighbor_id, rnk,
                    CAST(CAST(cos AS DECIMAL(18,4)) AS VARCHAR) AS cos_sim
             FROM ranked WHERE rnk <= 5

@@ -190,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     fsck.add_argument("--table", required=True)
 
+    relay = sub.add_parser(
+        "relay",
+        help="run the CDC relay: poll the table and ship each net delta "
+        "to a parquet feed, resuming from the persisted cursor",
+    )
+    relay.add_argument("--table", required=True)
+    relay.add_argument("--out", required=True, help="delta feed directory")
+    relay.add_argument("--cursor", required=True, help="cursor file path")
+    relay.add_argument("--poll-seconds", type=float, default=2.0)
+    relay.add_argument("--seconds", type=float, default=None,
+                       help="stop after this long (default: one drain pass)")
+
     for entity in _EXPORT_ENTITIES:
         e = sub.add_parser(
             f"export-{entity}",
@@ -249,6 +261,21 @@ def main(argv: list[str] | None = None) -> int:
         report = _open_table(spark, args).verify_integrity()
         print(json.dumps(report))
         return 0 if report["ok"] else 1
+    elif args.cmd == "relay":
+        import time as _time
+
+        from ethereum_etl_spark.streaming.relay import CdcRelay
+
+        r = CdcRelay(_open_table(spark, args), args.out, args.cursor)
+        shipped = r.run_until_head()
+        if args.seconds is not None:
+            deadline = _time.time() + args.seconds
+            while _time.time() < deadline:
+                _time.sleep(args.poll_seconds)
+                shipped.extend(r.run_until_head())
+        print(json.dumps({
+            "shipped": shipped, "cursor": r.cursor(), "out": args.out,
+        }))
     elif args.cmd.startswith("export-"):
         print(json.dumps(_export_entity(spark, args)))
     return 0

@@ -275,3 +275,35 @@ def test_dedup_clusters_survivor_semantics(spark, docs):
     )
     assert sizes_ok == 0
     clusters.unpersist()
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from ethereum_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["qvec"] for r in quantize_int8(df).collect()}
+    assert rows[1] == [64, -127, 32]          # round(127*0.5)=64 (63.5 -> 64)
+    assert rows[2] == [0, 0, 0]               # zero vector -> all-zero codes
+    assert rows[3] == [127]                   # max element always hits ±127
+    assert all(-127 <= q <= 127 for qs in rows.values() for q in qs)
+
+
+def test_ann_topk_quantized_matches_brute_on_testdata(spark):
+    """With rerank deep enough, quantize-then-rerank returns exactly the
+    brute-force exact top-k (the rerank pass restores true ranking)."""
+    from ethereum_etl_spark.operators.similarity import (
+        ann_topk_quantized,
+        brute_force_topk,
+        cosine_portable,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 2")
+    brute = brute_force_topk(emb, q, k=5, score_fn=cosine_portable)
+    quant = ann_topk_quantized(emb, q, k=5, rerank=50, score_fn=cosine_portable)
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in brute.collect())
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in quant.collect())
+    assert a == b

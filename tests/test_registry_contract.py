@@ -29,7 +29,8 @@ FLAGSHIP = {
     # corpus maintenance off the CDC feed
     "incremental_corpus_update",
     # ANN / similarity
-    "kmeans_ivf_train", "ann_topk_brute", "ann_topk_lsh", "ann_topk_ivf",
+    "kmeans_ivf_train", "ann_topk_brute", "ann_topk_quantized",
+    "ann_topk_lsh", "ann_topk_ivf",
     "embedding_near_dup", "embedding_near_dup_banded", "lsh_bucket_keys",
     # multimodal
     "multimodal_image_features", "multimodal_frame_sample", "multimodal_resize",

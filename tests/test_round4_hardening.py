@@ -472,3 +472,22 @@ class TestVerifyIntegrity:
         assert cli.main(["fsck", "--table", root]) == 1
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert not rep["ok"] and rep["missing_paths"]
+
+
+def test_cli_relay_drains_and_resumes(spark, tmp_path, capsys):
+    from ethereum_etl_spark import cli
+
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root, merge_keys=KEYS, n_buckets=4)
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u")]), "b0")
+    t.merge(_mk(spark, [(2, "r", "b.py", "c2", "v2", "u")]), "b1")
+    out, cur = str(tmp_path / "feed"), str(tmp_path / "cursor.json")
+    rc = cli.main(["relay", "--table", root, "--out", out, "--cursor", cur])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["cursor"] == 1 and len(payload["shipped"]) == 1
+    # resume: nothing new -> nothing shipped, cursor unchanged
+    rc = cli.main(["relay", "--table", root, "--out", out, "--cursor", cur])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["shipped"] == [] and payload["cursor"] == 1
