@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corpus_prep_pipeline",
     "corpus_pack_sequences",
     "ann_topk_brute",
+    "ann_topk_quantized",
     "ann_topk_lsh",
     "embedding_near_dup_banded",
     "export_traces",
