@@ -99,3 +99,38 @@ def test_near_dup_candidate_join_is_slim(spark):
         if any(l.startswith(f"({x}) Exchange") for x in exchange_ids):
             detail = "\n".join(lines[i : i + 4])
             assert "embedding" not in detail and "_va" not in detail, detail
+
+
+def test_quantized_ann_join_ships_codes_not_floats(spark):
+    """The quantized candidate pass's broadcast join must carry int8 codes
+    only — the float embedding column stays out of the pairwise stage (the
+    4x-bandwidth win the operator exists for), reappearing only in the
+    exact rerank join."""
+    from ethereum_etl_spark.operators.similarity import (
+        cosine_portable,
+        quantize_int8,
+        quantized_cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cq = quantize_int8(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("cq")
+    )
+    qq = quantize_int8(emb.filter("vec_id < 2")).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                quantized_cosine(F.col("cq"), F.col("qq")).alias("qcos"))
+    )
+    plan = _plan(spark, scored)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the join inputs project qvec codes; the float column is pruned before
+    # the pairwise stage (ReadSchema still names it — quantization reads it
+    # once at the scan — but no join-side Project carries 'embedding')
+    assert "cq" in plan and "qq" in plan
+    for line in plan.splitlines():
+        if "Project" in line and "embedding" in line and "qvec" not in line:
+            raise AssertionError(f"float embeddings travel into the join: {line}")

@@ -491,3 +491,55 @@ def test_cli_relay_drains_and_resumes(spark, tmp_path, capsys):
     assert rc == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["shipped"] == [] and payload["cursor"] == 1
+
+
+def test_cli_full_lifecycle(spark, tmp_path, capsys):
+    """One operator's-eye walkthrough of the whole CLI surface on a single
+    table: datagen -> replay -> fsck -> history -> relay -> changes-since
+    (pinned) -> latest-state -> vacuum -> fsck. Pins that the subcommands
+    compose — each reads the state the previous one wrote."""
+    from ethereum_etl_spark import cli
+
+    def run(args):
+        rc = cli.main(args)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "table")
+    rc, d = run(["datagen", "--out", log, "--rows", "2000", "--partitions", "4"])
+    assert rc == 0 and d["written"] == 2000
+
+    rc, d = run(["replay", "--source", log, "--table", table,
+                 "--start", "0", "--end", "1999", "--partition-size", "1000"])
+    assert rc == 0 and d["change_events"] == 2000
+
+    rc, d = run(["fsck", "--table", table])
+    assert rc == 0 and d["ok"] and d["snapshots"] == 2
+
+    rc, hist = run(["history", "--table", table])
+    assert rc == 0 and [s["id"] for s in hist] == [0, 1]
+
+    feed, cur = str(tmp_path / "feed"), str(tmp_path / "cursor.json")
+    rc, d = run(["relay", "--table", table, "--out", feed, "--cursor", cur])
+    assert rc == 0 and d["cursor"] == 1 and len(d["shipped"]) == 1
+    shipped = spark.read.parquet(d["shipped"][0]["out"])
+    assert shipped.count() == 2000  # full net state since cursor -1
+
+    delta_out = str(tmp_path / "delta")
+    rc, d = run(["changes-since", "--table", table, "--snapshot", "0",
+                 "--out", delta_out, "--as-of", "1"])
+    assert rc == 0 and d["current_snapshot"] == 1
+    assert spark.read.parquet(delta_out).count() == 1000  # second batch only
+
+    latest_out = str(tmp_path / "latest")
+    rc, d = run(["latest-state", "--table", table, "--out", latest_out])
+    assert rc == 0
+    latest = spark.read.parquet(latest_out)
+    assert 0 < latest.count() <= 2000
+
+    rc, d = run(["vacuum", "--table", table, "--keep-last", "1"])
+    assert rc == 0 and d["snapshots_removed"] == 1
+
+    rc, d = run(["fsck", "--table", table])
+    assert rc == 0 and d["ok"] and d["snapshots"] == 1
