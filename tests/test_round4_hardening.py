@@ -543,3 +543,77 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
 
     rc, d = run(["fsck", "--table", table])
     assert rc == 0 and d["ok"] and d["snapshots"] == 1
+
+
+class _MemoryCatalog:
+    """A from-scratch SnapshotCatalog living entirely in memory — the
+    stand-in for an Iceberg REST/Hive catalog transaction. If MergeTable
+    truly does all snapshot-metadata I/O through the seam, a full
+    merge/read/changes_since/time-travel/expire cycle must work with NO
+    manifest.json, snapshots/ dir, or lock file ever appearing on disk."""
+
+    def __init__(self):
+        self.snapshots: dict[int, dict] = {}
+        self.pointer: int | None = None
+        self.lineage: list[dict] = []
+
+    def current_snapshot(self):
+        return None if self.pointer is None else self.snapshots[self.pointer]
+
+    def snapshot_at(self, snapshot_id):
+        if snapshot_id not in self.snapshots:
+            raise ValueError(f"snapshot {snapshot_id} does not exist or has been expired")
+        return self.snapshots[snapshot_id]
+
+    def snapshot_ids(self):
+        return sorted(self.snapshots)
+
+    def commit(self, snapshot):
+        if snapshot.get("parent") != self.pointer:
+            raise CommitConflict(
+                f"base snapshot {snapshot.get('parent')} was superseded by {self.pointer}"
+            )
+        self.snapshots[snapshot["id"]] = snapshot
+        self.pointer = snapshot["id"]
+
+    def remove_snapshot(self, snapshot_id):
+        del self.snapshots[snapshot_id]
+
+    def log_lineage(self, record):
+        self.lineage.append(record)
+
+
+def test_merge_table_runs_on_injected_catalog(spark, tmp_path):
+    from ethereum_etl_spark.plans.merge import SnapshotCatalog
+
+    assert set(dir(SnapshotCatalog)) >= {
+        "current_snapshot", "snapshot_at", "snapshot_ids",
+        "commit", "remove_snapshot", "log_lineage",
+    }
+    cat = _MemoryCatalog()
+    root = str(tmp_path / "t")
+    t = MergeTable(spark, root, merge_keys=KEYS, n_buckets=4,
+                   delete_where="op = 'd'", catalog=cat)
+    t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u")]), "b0")
+    t.merge(_mk(spark, [(2, "r", "b.py", "c2", "v2", "u"),
+                        (3, "r", "a.py", "c1", None, "d")]), "b1")
+    # full read/CDC surface against the injected catalog
+    assert {r["path"] for r in t.read().collect()} == {"b.py"}
+    assert {r["path"] for r in t.read(as_of=0).collect()} == {"a.py"}
+    ch = {(r["path"], r["_change_type"]) for r in t.changes_since(0).collect()}
+    assert ch == {("b.py", "upsert"), ("a.py", "delete")}
+    assert [s["id"] for s in t.history()] == [0, 1]
+    assert len(cat.lineage) == 2 and cat.pointer == 1
+    # idempotent redo is a catalog-level noop
+    m = t.merge(_mk(spark, [(1, "r", "a.py", "c1", "v1", "u")]), "b0")
+    assert m.noop
+    # expire flows through remove_snapshot on the injected catalog
+    t.merge(_mk(spark, [(4, "r", "c.py", "c3", "v3", "u")]), "b2")
+    t.expire_snapshots(keep_last=1)
+    assert cat.snapshot_ids() == [2]
+    # NOTHING of the file protocol ever touched disk
+    assert not os.path.exists(os.path.join(root, "manifest.json"))
+    assert not os.path.exists(os.path.join(root, "manifest.lock"))
+    assert not os.listdir(os.path.join(root, "snapshots")) if os.path.isdir(
+        os.path.join(root, "snapshots")) else True
+    assert not os.path.exists(os.path.join(root, "lineage.jsonl"))
