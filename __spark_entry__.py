@@ -66,7 +66,9 @@ from ethereum_etl_spark.operators.corpus import (
     remove_boilerplate_lines,
     split_thresholds,
     stratified_sample,
+    tokenize_with_vocab,
     top_ngram_stats,
+    vocab_with_ids,
 )
 from ethereum_etl_spark.operators.events import EventAbi, decode_events, load_abi
 from ethereum_etl_spark.operators.sessions import session_stats
@@ -1517,6 +1519,24 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_FRACTIONS = {"en": 0.3, "zh": 1.0, "de": 0.8, "fr": 0.5}
 
 
+def q_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encode (the corpus pipeline's final step): build the
+    top-200 vocab from the corpus itself (count-desc, token-asc ranked
+    ids; 0 = OOV), then map every document to its ordered token-id
+    sequence via a broadcast vocab join. The oracle rebuilds the same
+    vocab ranking and sequences in DuckDB."""
+    _utc(spark)
+    docs = _tp(spark, sf_dir, "documents")
+    vocab = vocab_with_ids(vocab_topk(docs, k=200))
+    out = tokenize_with_vocab(docs, vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", F.transform("token_ids", lambda t: t.cast("string")))
+        .alias("token_ids"),
+    )
+
+
 def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixing: deterministic per-language subsampling to a target
     mixture (temperature-sampled multilingual corpus building). A pure
@@ -2096,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # ---- position 51+: locally-swept variants and warm-ups ----
+        "corpus_tokenize": q_corpus_tokenize,
         "running_balance": q_running_balance,
         "latest_event_per_user": q_latest_event_per_user,
         "purchase_filter_pushdown": q_purchase_filter_pushdown,
@@ -2793,6 +2814,30 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM rep LEFT JOIN (SELECT * FROM tops WHERE rn = 1) tw USING (doc_id)
         """,
         "pii_scrub": _SQL_PII_SCRUB,
+        # vocab encode: same count-desc/token-asc ranked ids, same ordered
+        # per-doc sequences (DuckDB struct-unnest + ordered list aggregate)
+        "corpus_tokenize": """
+            WITH counts AS (
+              SELECT token, count(*)::BIGINT AS n
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+                    FROM documents)
+              GROUP BY token ORDER BY n DESC, token ASC LIMIT 200),
+            vocab AS (
+              SELECT token, CAST(row_number() OVER (
+                  ORDER BY n DESC, token ASC) AS INTEGER) AS tid
+              FROM counts),
+            toks AS (
+              SELECT doc_id, u.pos AS pos, u.tok AS tok
+              FROM documents,
+                   unnest(list_transform(regexp_extract_all(lower(text), '\\S+'),
+                          (x,i) -> {'tok': x, 'pos': i})) AS t(u)),
+            mapped AS (
+              SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+              FROM toks LEFT JOIN vocab v ON toks.tok = v.token)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   array_to_string(list(tid ORDER BY pos), ',') AS token_ids
+            FROM mapped GROUP BY doc_id
+        """,
         # corpus mixing: identical md5-threshold CASE in DuckDB (strict <
         # against 8-hex bounds; 'g0000000' = keep-all sentinel above hex)
         "corpus_mix_sample": (lambda bounds: f"""

@@ -336,3 +336,61 @@ def stratified_sample(
     thresh = thresh.otherwise(default_bound) if thresh is not None else default_bound
     # lexicographic compare of equal-length lowercase hex == numeric compare
     return df.filter(h < thresh)
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Map documents to integer token-id sequences against a fixed
+    vocabulary — the final encode step of the corpus pipeline (quality →
+    dedup → mix → pack → ENCODE): lowercase whitespace tokens (the same
+    rule as ``vocab_topk``), in-vocab tokens take ``token_id``, everything
+    else the ``oov_id`` sentinel. Returns ``(id_col, n_tokens, token_ids
+    array<int>)`` with ids in original document order.
+
+    Scale shape: tokens posexplode map-side; the id lookup is a broadcast
+    equi-join against the vocabulary (vocab size ~10^5 — always a dim
+    table; the corpus-sized fact side never shuffles for it); order is
+    restored per document by one array_sort over (pos, id) structs in the
+    rebuild aggregation — the same single-shuffle rebuild discipline as
+    ``remove_boilerplate_lines``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("_pos", "_tok"),
+    )
+    vdim = vocab.select(
+        F.col(token_col).alias("_tok"), F.col("token_id").alias("_tid")
+    )
+    mapped = toks.join(F.broadcast(vdim), "_tok", "left").select(
+        id_col,
+        "_pos",
+        F.coalesce(F.col("_tid"), F.lit(oov_id)).cast("int").alias("_tid"),
+    )
+    rebuilt = mapped.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_tid")))),
+            lambda s: s["_tid"],
+        ).alias("token_ids"),
+    )
+    return rebuilt
+
+
+def vocab_with_ids(vocab_topk_df: DataFrame) -> DataFrame:
+    """Assign stable integer ids to a ``vocab_topk`` result: rank by
+    (count desc, token asc) — deterministic across engines — with id 1 as
+    the most frequent token (0 is reserved for OOV)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return vocab_topk_df.select(
+        "token", F.row_number().over(w).cast("int").alias("token_id")
+    )

@@ -267,3 +267,21 @@ def test_stratified_sample_validates_fractions(spark):
         stratified_sample(df, "lang", {"en": 1.5}, "doc_id")
     with _pytest.raises(ValueError):
         stratified_sample(df, "lang", {"en": 0.5}, "doc_id", default_fraction=-0.1)
+
+
+def test_tokenize_with_vocab_order_and_oov(spark):
+    from ethereum_etl_spark.operators.corpus import tokenize_with_vocab, vocab_with_ids
+    from ethereum_etl_spark.functions.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a zzz B"), (2, "b b c")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_with_ids(vocab_topk(docs, "text", k=3))
+    # counts: a=3 ('a','a','B'->'b' lowercased? no: a x2 + b x? ) — verify ids
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert v == {"b": 1, "a": 2, "c": 3}  # b x4, a x2, c x1 (lowercased)
+    out = {r["doc_id"]: (r["n_tokens"], r["token_ids"])
+           for r in tokenize_with_vocab(docs, vocab).collect()}
+    assert out[1] == (5, [2, 1, 2, 0, 1])  # zzz -> OOV 0; order preserved
+    assert out[2] == (3, [1, 1, 3])
