@@ -53,9 +53,13 @@ BENCH_QUERIES = [
     "text_stats",
     "corpus_prep_pipeline",
     "corpus_pack_sequences",
+    "corpus_tokenize",
+    "corpus_mix_sample",
+    "vocab_train_bpe",
     "ann_topk_brute",
     "ann_topk_quantized",
     "ann_topk_lsh",
+    "ann_topk_ivf_quantized",
     "embedding_near_dup_banded",
     "export_traces",
 ]
@@ -178,6 +182,7 @@ def main() -> None:
     relay = CdcRelay(churn, relay_out, os.path.join(relay_out, "cursor.json"))
     relay_polls: list[float] = []
     relay_rows = 0
+    relay_overhead_sec = 0.0  # polls + read-back verify, reported separately
     t0 = time.time()
     for i in range(n_churn):
         start = i * churn_batch
@@ -194,13 +199,16 @@ def main() -> None:
         relay_polls.append(round(time.time() - tp, 3))
         assert shipped is not None
         relay_rows += spark.read.parquet(shipped["out"]).count()
-        relay_overhead = time.time() - tp  # keep churn_sec comparable to r3
-        t0 += relay_overhead
+        # the relay poll + parquet read-back verify are NOT merge work;
+        # accumulate them in their own counter so the churn number measures
+        # ingest only (comparable to r3, which had no relay in the loop) and
+        # the relay's cost stays visible in the emitted JSON
+        relay_overhead_sec += time.time() - tp
         if (i + 1) % 6 == 0:
             tr = time.time()
             churn.read().count()
             churn_reads.append(round(time.time() - tr, 3))
-    churn_sec = time.time() - t0
+    churn_sec = time.time() - t0 - relay_overhead_sec
     churn_data_dirs = len(os.listdir(os.path.join(churn_root, "data")))
 
     # ---- salted merge-apply (north rule): bucket-capped regime, where the
@@ -278,7 +286,10 @@ def main() -> None:
             "mor_churn": {
                 "micro_batches": n_churn,
                 "events_per_batch": churn_batch,
-                "total_sec": round(churn_sec, 3),
+                # ingest-only wall time: relay polls + read-back verify ran
+                # inside the same loop but are excluded here and reported
+                # under cdc_relay.overhead_sec_total
+                "total_sec_excl_relay": round(churn_sec, 3),
                 "resolved_read_sec_every_6": churn_reads,
                 "max_delta_chain_files": max_chain,
                 "compact_threshold": churn.compact_threshold,
@@ -289,6 +300,7 @@ def main() -> None:
                 "poll_sec_each": relay_polls,
                 "poll_sec_avg": round(sum(relay_polls) / len(relay_polls), 3),
                 "poll_sec_max": round(max(relay_polls), 3),
+                "overhead_sec_total": round(relay_overhead_sec, 3),
                 "shipped_rows_total": relay_rows,
                 "events_ingested": n_churn * churn_batch,
             },

@@ -351,7 +351,11 @@ def tokenize_with_vocab(
     dedup → mix → pack → ENCODE): lowercase whitespace tokens (the same
     rule as ``vocab_topk``), in-vocab tokens take ``token_id``, everything
     else the ``oov_id`` sentinel. Returns ``(id_col, n_tokens, token_ids
-    array<int>)`` with ids in original document order.
+    array<int>)`` with ids in original document order. EVERY input row
+    appears in the output: a document whose text has no ``\\S+`` tokens
+    (empty or whitespace-only) comes back as ``(n_tokens=0, token_ids=[])``
+    — ``posexplode_outer`` keeps a null-position row for it, so the
+    contract costs no extra join.
 
     Scale shape: tokens posexplode map-side; the id lookup is a broadcast
     equi-join against the vocabulary (vocab size ~10^5 — always a dim
@@ -362,7 +366,7 @@ def tokenize_with_vocab(
     """
     toks = df.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
         ).alias("_pos", "_tok"),
     )
@@ -375,13 +379,163 @@ def tokenize_with_vocab(
         F.coalesce(F.col("_tid"), F.lit(oov_id)).cast("int").alias("_tid"),
     )
     rebuilt = mapped.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        # count(_pos) skips the null row an empty document contributes
+        F.count(F.col("_pos")).cast("long").alias("n_tokens"),
         F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("_pos"), F.col("_tid")))),
+            F.array_sort(
+                F.collect_list(  # collect_list drops the null-pos sentinel
+                    F.when(
+                        F.col("_pos").isNotNull(),
+                        F.struct(F.col("_pos"), F.col("_tid")),
+                    )
+                )
+            ),
             lambda s: s["_tid"],
         ).alias("token_ids"),
     )
     return rebuilt
+
+
+def bpe_word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over lowercase ALPHABETIC whitespace tokens — the
+    word-frequency dictionary a BPE trainer iterates on. Restricting to
+    ``^[a-z]+$`` keeps the symbol alphabet ASCII, so character splitting,
+    substring arithmetic, and merge application are byte-exact across
+    engines (multi-byte graphemes split differently between Spark's
+    codepoint split and SQL substr — out of scope for the trainer; the
+    encoder passes non-alphabetic tokens through opaque).
+
+    Scale shape: one explode + one hash-groupBy. The word dictionary is
+    vocabulary-sized (~10^6-10^7 distinct words even at 100 TB — Heaps'
+    law), which is what makes iterative BPE training tractable: every
+    Lloyd-style round below works on THIS table, never the corpus."""
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    return words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+
+
+def apply_bpe_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge pass over a symbol array: greedy left-to-right,
+    non-overlapping — the classic semantics (``aaa`` under ``(a,a)`` →
+    ``[aa, a]``). A pure ``F.aggregate`` fold with an array accumulator:
+    merge the tail element with the current symbol when they form the
+    pair, else append. Exact string ops only — no floats, no UDFs, and
+    bit-identical to the DuckDB ``list_reduce`` oracle fold."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, v: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (v == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(v))),
+    )
+
+
+def train_bpe(words: DataFrame, merges: int = 6) -> list[dict]:
+    """Byte-pair-encoding vocabulary trainer — the subword step real LLM
+    pipelines put between ``vocab_topk`` (whitespace words) and model
+    training. ``words`` is a ``(word, freq)`` dictionary (see
+    :func:`bpe_word_table`); returns the learned merge list
+    ``[{merge_rank, left_sym, right_sym, merged, pair_count}, ...]``.
+
+    Per round (same iterative discipline as ``kmeans_fit`` /
+    ``connected_components``): ONE explode of adjacent symbol pairs
+    weighted by word frequency, ONE groupBy((l, r)) count, a 1-row
+    driver collect of the argmax pair (ties broken (count desc, l asc,
+    r asc) — deterministic in any engine), then the merge applied to
+    every word as a pure projection fold. The working set never exceeds
+    the word dictionary; driver traffic is one row per round.
+    ``localCheckpoint`` truncates lineage each round so round k costs
+    O(dict), not O(k * dict). Stops early when no pair remains.
+    """
+    w = words.select("word", "freq", F.split(F.col("word"), "").alias("syms"))
+    out: list[dict] = []
+    for rank in range(1, merges + 1):
+        w = w.localCheckpoint(eager=True)
+        pairs = w.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        out.append(
+            {
+                "merge_rank": rank,
+                "left_sym": l,
+                "right_sym": r,
+                "merged": l + r,
+                "pair_count": n,
+            }
+        )
+        w = w.withColumn("syms", apply_bpe_merge(F.col("syms"), l, r))
+    return out
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a ranked BPE merge list to every document; returns
+    ``(id_col, n_words, n_tokens_bpe)`` — the post-merge subword token
+    count that sequence packing / budget accounting consume. Alphabetic
+    words (``^[a-z]+$`` after lowercasing, the trainer's alphabet) are
+    char-split and folded through the merges in rank order; any other
+    whitespace token passes through as ONE opaque token (the byte-fallback
+    placeholder). Documents with no ``\\S+`` tokens appear as ``(0, 0)``
+    — same all-rows contract as ``tokenize_with_vocab``.
+
+    Scale shape: the standard word-cache trick — each DISTINCT word is
+    encoded once (K projection folds over the vocabulary-sized word
+    dictionary), then joined back to the exploded corpus by word and
+    summed per document. The K-fold CPU cost lands on ~10^6 dictionary
+    rows, not ~10^12 token occurrences.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), F.lit(0))
+        ).alias("word"),
+    )
+    alpha = F.col("word").rlike("^[a-z]+$")
+    enc = toks.filter(F.col("word").isNotNull()).select("word").distinct().select(
+        "word",
+        F.when(alpha, F.split(F.col("word"), ""))
+        .otherwise(F.array(F.col("word")))
+        .alias("syms"),
+    )
+    for left, right in merges:
+        enc = enc.withColumn("syms", apply_bpe_merge(F.col("syms"), left, right))
+    dim = enc.select("word", F.size("syms").cast("long").alias("_wt"))
+    return (
+        toks.join(dim, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("word")).cast("long").alias("n_words"),
+            F.coalesce(F.sum("_wt"), F.lit(0)).cast("long").alias("n_tokens_bpe"),
+        )
+    )
 
 
 def vocab_with_ids(vocab_topk_df: DataFrame) -> DataFrame:

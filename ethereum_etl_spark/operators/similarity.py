@@ -680,3 +680,98 @@ def ann_topk_quantized(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_fn=None,
+) -> DataFrame:
+    """IVF x int8 composition — the realistic billion-vector ANN shape:
+    SUBLINEAR candidate generation (each query probes only its ``nprobe``
+    nearest IVF cells, so the scored set is a cell-pruned slice, not the
+    whole corpus) combined with COMPRESSED scoring (the cheap pass ranks
+    candidates on int8 codes — 4x less shuffle/scan than float32, integer
+    dot products), then an exact rerank of the top ``rerank`` survivors
+    with full-precision vectors. This composes :func:`ivf_topk`'s cell
+    pruning with :func:`ann_topk_quantized`'s quantize-then-rerank — each
+    alone is a demo; together they are the FAISS-style IVF-SQ8 layout.
+
+    Scale shape: cell assignment and query-probe selection are broadcast
+    joins against the small centroid dim; the quantized corpus codes join
+    the (tiny) probed-cells table on ``cell`` — at cluster scale the
+    assigned+quantized table is written out partitioned by cell, making
+    the cheap pass a partition-pruned scan. Float vectors travel only in
+    the final rerank join, for O(queries x rerank) rows.
+
+    Determinism: quantization (IEEE double mul/div + half-away-from-zero
+    round), integer dots, and all tie-breaks (ascending id / centroid id)
+    are engine-portable, so the full pipeline — cells, candidates, final
+    ranking — is reproducible bit-for-bit by an ANSI-SQL oracle.
+    """
+    rerank = rerank or 4 * k
+    score_fn = score_fn or _default_score
+    # corpus -> nearest cell (exact), then int8 codes for the cheap pass
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, score_fn)
+    cq = quantize_int8(assigned, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell"), F.col("qvec").alias("cq")
+    )
+    # queries -> nprobe nearest cells (exact over the broadcast centroid dim)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    qq = quantize_int8(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec_f"),
+        F.col("qvec").alias("qq"),
+    )
+    qscore = qq.crossJoin(F.broadcast(c)).select(
+        "query_id", "qq", "centroid_id",
+        score_fn(F.col("qvec_f"), F.col("cvec")).alias("_cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cs"), F.asc("centroid_id"))
+    qcells = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qq", F.col("centroid_id").alias("cell"))
+    )
+    # cheap pass: int8 cosine over cell-pruned candidates only
+    scored = (
+        cq.join(F.broadcast(qcells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantized_cosine(F.col("cq"), F.col("qq")).alias("_qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: slim candidate set joined back to full-precision rows
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    exact = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            score_fn(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -363,7 +363,17 @@ def flatten_geth_traces_structured(
     ``"calls"``-count upper bound (see ``_sampled_depth_bound``): shallow
     corpora get a shallow schema — 7-14x cheaper plan codegen — while
     deeper-than-sampled rows still land on the spill loop, output
-    unchanged. Pass an int to pin the depth (16 = the old fixed default).
+    unchanged. Two caveats callers should know: (1) "auto" runs an EAGER
+    sampling job inside this otherwise-lazy builder (an early-stopping
+    LIMIT scan — cheap, but a job); (2) the LIMIT sample has no defined
+    row order, so two runs over the same data may pick different depths —
+    output is row-identical either way (the spill loop covers any
+    shortfall), but plan shape, codegen cost, and how much lands on the
+    spill path can vary run to run. Callers that know their data (or need
+    a deterministic plan) should pin an int — 16 = the old fixed default —
+    which also keeps this builder fully lazy; a caller invoking the
+    flatten repeatedly over one corpus should derive the bound once via
+    ``_sampled_depth_bound`` and pass it pinned.
     """
     if struct_depth == "auto":
         struct_depth = _sampled_depth_bound(traces, trace_col, cap=16)

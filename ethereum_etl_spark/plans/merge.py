@@ -146,7 +146,13 @@ class FileSnapshotCatalog(SnapshotCatalog):
     A live writer stalled past ``lock_ttl`` inside the critical section
     (GC pause, slow network FS) re-verifies ownership (lock inode) right
     before publishing and aborts with CommitConflict if it was stolen —
-    the stalled holder can no longer race the stealer's check+swap.
+    this NARROWS the window in which a stalled holder can race the
+    stealer's check+swap (to the gap between the re-verify and the two
+    renames) rather than eliminating it; a holder that stalls precisely
+    inside that gap can still publish over the stealer. True elimination
+    needs a compare-and-swap primitive the filesystem doesn't offer —
+    that is exactly what a real Iceberg catalog ``commit()`` provides
+    through this same ``SnapshotCatalog`` seam.
     """
 
     def __init__(self, root: str, lock_ttl: float = 30.0):
@@ -202,7 +208,15 @@ class FileSnapshotCatalog(SnapshotCatalog):
             return False
 
     def _acquire_lock(self, lock: str) -> int:
-        for _ in range(200):
+        # The wait budget must EXCEED lock_ttl: a lock left by a crashed
+        # writer only becomes stealable after lock_ttl of inactivity, so a
+        # fixed attempt count shorter than that would make every commit
+        # behind a crash raise CommitConflict (and merge(conflict_retries)
+        # redo the full merge computation) until some attempt happened to
+        # straddle the staleness boundary. Budget = 2x lock_ttl + 5 s:
+        # enough to outlive the TTL, win the steal, and absorb contention.
+        deadline = time.time() + 2.0 * self.lock_ttl + 5.0
+        while time.time() < deadline:
             try:
                 return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
