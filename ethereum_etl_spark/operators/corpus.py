@@ -453,6 +453,17 @@ def train_bpe(words: DataFrame, merges: int = 6) -> list[dict]:
     the word dictionary; driver traffic is one row per round.
     ``localCheckpoint`` truncates lineage each round so round k costs
     O(dict), not O(k * dict). Stops early when no pair remains.
+
+    Scale honesty: this is one Spark job per merge, which is the right
+    shape for the corpus-sized part of the problem (the ONE corpus pass
+    in :func:`bpe_word_table`) but caps practical ``merges`` at a few
+    hundred — a production 32k-merge vocabulary is trained by pulling the
+    word-frequency dictionary (vocabulary-sized, fits one node by Heaps'
+    law even at 100 TB) to a single process and running the classic
+    heap-based trainer there, then re-entering Spark for
+    :func:`encode_bpe`. What this operator contributes is the exact
+    distributed semantics, oracle-verified at small K, plus the
+    dictionary extraction that IS the at-scale bottleneck.
     """
     w = words.select("word", "freq", F.split(F.col("word"), "").alias("syms"))
     out: list[dict] = []
@@ -510,7 +521,11 @@ def encode_bpe(
     encoded once (K projection folds over the vocabulary-sized word
     dictionary), then joined back to the exploded corpus by word and
     summed per document. The K-fold CPU cost lands on ~10^6 dictionary
-    rows, not ~10^12 token occurrences.
+    rows, not ~10^12 token occurrences. The nested-fold expression keeps
+    codegen happy to a few hundred merges; at production merge counts the
+    same word-cache plan swaps the fold column for an Arrow-batched
+    pandas UDF wrapping a real tokenizer — the join/dedup/re-aggregate
+    skeleton (the part that must scale) is unchanged.
     """
     toks = docs.select(
         F.col(id_col),

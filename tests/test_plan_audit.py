@@ -134,3 +134,30 @@ def test_quantized_ann_join_ships_codes_not_floats(spark):
     for line in plan.splitlines():
         if "Project" in line and "embedding" in line and "qvec" not in line:
             raise AssertionError(f"float embeddings travel into the join: {line}")
+
+
+def test_ivf_quantized_cheap_pass_is_cell_pruned_broadcast(spark):
+    """The IVF x int8 composition's cheap pass must join the quantized
+    corpus to a BROADCAST probed-cells table on the cell key (never a
+    shuffle of the corpus side), and — like the flat quantized variant —
+    only int8 codes may travel through that join; float vectors reappear
+    exclusively in the exact rerank join."""
+    from ethereum_etl_spark.operators.similarity import (
+        cosine_portable,
+        ivf_quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_quantized_topk(
+        emb,
+        emb.filter("vec_id < 2"),
+        emb.filter("vec_id % 10 = 0"),
+        k=3,
+        nprobe=2,
+        rerank=12,
+        score_fn=cosine_portable,
+    )
+    plan = _plan(spark, out)
+    assert "BroadcastHashJoin" in plan, "probed-cells join lost its broadcast"
+    # the corpus side must not be re-sorted for a sort-merge join anywhere
+    assert "SortMergeJoin" not in plan, "a join fell back to sort-merge"

@@ -105,6 +105,30 @@ class TestTokenizeAllRowsContract:
             assert out[d]["n_tokens"] == 0 and out[d]["token_ids"] == []
 
 
+class TestBpeFeedsPacking:
+    def test_subword_counts_flow_into_pack_sequences(self, spark):
+        """The corpus pipeline accepts subword budgets: encode_bpe's
+        n_tokens_bpe feeds pack_sequences as the token-count column, and
+        the packs conserve the total subword count exactly."""
+        from ethereum_etl_spark.operators.corpus import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat " * (i + 1)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        merges = train_bpe(bpe_word_table(docs), merges=4)
+        enc = encode_bpe(docs, [(m["left_sym"], m["right_sym"]) for m in merges])
+        total = enc.agg(F.sum("n_tokens_bpe")).collect()[0][0]
+        packs = pack_sequences(
+            enc.select("doc_id", F.col("n_tokens_bpe").alias("n_tokens")),
+            max_tokens=64, n_streams=4,
+        )
+        packed_total = packs.agg(
+            F.sum(F.col("doc_to") - F.col("doc_from"))
+        ).collect()[0][0]
+        assert packed_total == total > 0
+
+
 # ---------------- IVF x int8 composition ----------------
 
 class TestIvfQuantized:
