@@ -2202,11 +2202,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        first round must produce a driver row for it.
     3. The remaining window is filled by the queries that have gone
        LONGEST without a driver row (round-robin). Round 5's cohort is
-       the 27 queries that had never had one through r1-r4 (sessionize /
-       text-stats / streaming mirrors / TPC-H warm-ups / trace variants);
-       queries green in CORRECTNESS_r04 rotate out to 51+ this round and
-       rotate back as others age. ``tests/test_registry_contract.py``
-       enforces the anchor set and full-coverage-across-rounds invariant.
+       the 27 whose most recent row is CORRECTNESS_r03 or older — the
+       sessionize / text-stats / streaming mirrors / TPC-H warm-ups /
+       trace variants displaced by round 4's flagship-first reorder
+       (`corpus_tokenize`, added in r4 past the window, gets its first
+       row ever); queries green in CORRECTNESS_r04 rotate out to 51+
+       this round and rotate back as others age.
+       ``tests/test_registry_contract.py`` enforces the anchor set and
+       the every-query-checked-in-some-round invariant.
     """
     return {
         # ---- anchors (1-20): CDC/KG lifecycle + one per family ----
