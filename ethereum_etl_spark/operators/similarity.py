@@ -581,26 +581,34 @@ def quantize_int8(
     Implementation note: the scale (an ``aggregate`` result) must NOT be
     referenced per-element in the same projection — Catalyst inlines
     aggregate results per reference (the round-2 simhash lesson, an
-    O(dim²) trap). The scale is projected first and the transform runs in
-    a SECOND projection separated by a no-op ``repartition`` barrier so
-    project-collapse cannot fuse them back together.
+    O(dim²) trap). Round 4 prevented the inlining with a full
+    ``repartition`` shuffle barrier; that cost a whole-corpus exchange
+    just to pin expression evaluation. This version uses the
+    fold-don't-inline LET-BINDING instead (the ``sign_lsh_key`` pattern):
+    the scale is wrapped in a 1-element array and re-enters the transform
+    as a lambda VARIABLE — lambda variables are evaluated once per row by
+    construction, so the aggregate runs once, per-element references are
+    free, and the operator is a pure zero-shuffle projection (at 10^10
+    rows the removed exchange was the entire cost of quantization).
     """
-    with_scale = df.withColumn(
-        "_scale",
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
-        ),
-    ).repartition(F.col(id_col))  # barrier: scale computes once per row
-    s = F.col("_scale")
-    q = F.transform(
+    scale = F.aggregate(
         F.col(vec_col),
-        lambda v: F.when(
-            s > 0, F.round(F.lit(127.0) * v.cast("double") / s)
-        ).otherwise(F.lit(0.0)).cast("int"),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
     )
-    return with_scale.withColumn(q_col, q).drop("_scale")
+    q = F.element_at(
+        F.transform(
+            F.array(scale),  # let-bind: scale becomes a lambda variable
+            lambda s: F.transform(
+                F.col(vec_col),
+                lambda v: F.when(
+                    s > 0, F.round(F.lit(127.0) * v.cast("double") / s)
+                ).otherwise(F.lit(0.0)).cast("int"),
+            ),
+        ),
+        1,
+    )
+    return df.withColumn(q_col, q)
 
 
 def _qdot(a: Column, b: Column) -> Column:
