@@ -245,26 +245,45 @@ def ivf_assign(
     vec_col: str = "embedding",
     score_fn=None,
 ) -> DataFrame:
-    """IVF cell assignment: nearest centroid per vector (cosine argmax).
+    """IVF cell assignment: nearest centroid per vector (cosine argmax,
+    ties to the lowest centroid id — identical to a
+    ``row_number() OVER (ORDER BY score DESC, centroid_id)`` oracle).
 
-    Centroids are a small dim (broadcast); assignment is one pass over the
-    corpus — at cluster scale the assigned table is written out partitioned
-    by cell so probes are partition-pruned scans."""
+    Scale shape (round 5): the centroid codebook is collapsed to ONE
+    array-of-structs row (``collect_list`` — k x dim values, always a dim)
+    and broadcast; the argmax is an ``array_max`` over per-centroid
+    ``(score, -id)`` structs computed INSIDE one ``transform`` — a pure
+    zero-shuffle projection. The previous shape exploded corpus x k rows
+    through a crossJoin and ranked them with a window (an Exchange+Sort
+    of k copies of the corpus); at 10^10 rows x 4096 cells that shuffle
+    IS the assignment cost, and none of it is necessary: the argmax is
+    per-row local. ``collect_list``'s nondeterministic order is
+    irrelevant — argmax over all elements with the deterministic
+    struct tie-break is order-insensitive. At cluster scale the assigned
+    table is written out partitioned by cell so probes are
+    partition-pruned scans."""
     score_fn = score_fn or _default_score
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    cdim = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+        ).alias("_cents")
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                score_fn(F.col(vec_col), c["cvec"]).alias("s"),
+                (c["cid"] * -1).alias("nc"),
+            ),
+        )
+    )
+    return corpus.crossJoin(F.broadcast(cdim)).select(
         F.col(id_col),
-        vec_col,
-        "centroid_id",
-        score_fn(F.col(vec_col), F.col("cvec")).alias("_cs"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("cell"))
+        F.col(vec_col),
+        (best["nc"] * -1).alias("cell"),
     )
 
 
