@@ -69,6 +69,32 @@ def _default_score(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b), 8)
 
 
+def _grouped_topk(scored: DataFrame, key: str, order, k: int,
+                  rank_col: str = "rank") -> DataFrame:
+    """Exact per-key top-k in two phases. A single
+    ``row_number() OVER (PARTITION BY key)`` on a corpus-sized scored set
+    is a scale trap when there are few keys: the whole set sorts in
+    n_keys partitions (3 ANN queries => a 3-partition sort of every
+    scored pair — the straggler IS the query at 10^10 rows). Phase 1
+    ranks over ``(key, spark_partition_id())`` — hash-distributed over
+    n_keys x n_partitions groups — and prunes each partition to its local
+    top-k; phase 2 ranks the surviving n_keys x n_partitions x k rows (a
+    tiny set) for the true per-key top-k. Output-identical to the single
+    window for ANY partitioning (the global top-k is always a subset of
+    the union of partition-local top-ks), so task retries / AQE
+    re-coalescing cannot change results, only the pruning ratio."""
+    w1 = Window.partitionBy(key, "_tp").orderBy(*order)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        scored.withColumn("_tp", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop("_tp", "_r1")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,8 +123,12 @@ def brute_force_topk(
             score_fn(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # two-phase top-k: the scored set is corpus-sized and there are few
+    # queries — a single per-query window would sort it in |queries|
+    # partitions (see _grouped_topk)
+    return _grouped_topk(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k
+    )
 
 
 def _plane_sign(j: int, i: int) -> float:
@@ -234,8 +264,9 @@ def lsh_topk(
             score_fn(F.col("query_vec"), F.col("vec")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _grouped_topk(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k
+    )
 
 
 def ivf_assign(
@@ -328,8 +359,9 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         score_fn(F.col("qvec"), F.col(vec_col)).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _grouped_topk(
+        scored, "query_id", [F.desc("cos_sim"), F.asc("neighbor_id")], k
+    )
 
 
 def assign_to_centroid_literals(
@@ -683,12 +715,10 @@ def ann_topk_quantized(
             quantized_cosine(F.col("cq"), F.col("qq")).alias("_qcos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("neighbor_id"))
-    cand = (
-        scored.withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+    cand = _grouped_topk(
+        scored, "query_id", [F.desc("_qcos"), F.asc("neighbor_id")], rerank,
+        rank_col="_qrank",
+    ).select("query_id", "neighbor_id")
     # exact rerank: join the slim candidate set back to full-precision rows
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
@@ -778,12 +808,10 @@ def ivf_quantized_topk(
             quantized_cosine(F.col("cq"), F.col("qq")).alias("_qcos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("neighbor_id"))
-    cand = (
-        scored.withColumn("_qrank", F.row_number().over(w))
-        .filter(F.col("_qrank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+    cand = _grouped_topk(
+        scored, "query_id", [F.desc("_qcos"), F.asc("neighbor_id")], rerank,
+        rank_col="_qrank",
+    ).select("query_id", "neighbor_id")
     # exact rerank: slim candidate set joined back to full-precision rows
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
