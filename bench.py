@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "corpus_tokenize",
     "corpus_mix_sample",
     "vocab_train_bpe",
+    "encode_bpe",
     "ann_topk_brute",
     "ann_topk_quantized",
     "ann_topk_lsh",
