@@ -210,8 +210,9 @@ def pack_sequences(
     max_tokens: int,
     id_col: str = "doc_id",
     n_tokens_col: str = "n_tokens",
-    n_streams: int = 32,
+    n_streams: int | str = 32,
     salt: str = "pack",
+    auto_docs_per_stream: int = 100_000,
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents into a token tape
     and chunk it into fixed ``max_tokens`` training windows (the
@@ -229,6 +230,15 @@ def pack_sequences(
     and in-stream order are pure functions of the id). Zero-token
     documents pack nothing and are dropped.
 
+    ``n_streams="auto"`` sizes the stream count from the corpus — one
+    stream per ``auto_docs_per_stream`` documents (one column-pruned
+    count job, the ``lsh_bits_for_corpus`` discipline: a stream count
+    someone fixed at small scale quietly serializes the cumsum as the
+    corpus grows). NOTE: the stream hash modulus changes pack contents,
+    so two runs are only comparable at the same resolved ``n_streams`` —
+    callers that need stable output across corpus growth (the
+    correctness-gated query, incremental pipelines) pin an int.
+
     Returns one row per (document, pack) overlap:
 
     - ``stream_id``, ``pack_id`` (within stream) — long
@@ -245,8 +255,11 @@ def pack_sequences(
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
-    if n_streams < 1:
-        raise ValueError("n_streams must be >= 1")
+    if n_streams == "auto":
+        n_docs = df.filter(F.col(n_tokens_col) > 0).count()
+        n_streams = max(1, n_docs // auto_docs_per_stream)
+    if not isinstance(n_streams, int) or n_streams < 1:
+        raise ValueError(f"n_streams must be an int >= 1 or 'auto', got {n_streams!r}")
     sid = (
         F.conv(
             F.substring(

@@ -211,3 +211,25 @@ class TestOccThreadRace:
         # both writers observed distinct snapshot ids (no lost update)
         ids = {results["a"].snapshot_id, results["b"].snapshot_id}
         assert len(ids) == 2
+
+
+class TestPackStreamsAuto:
+    def test_auto_sizes_streams_and_conserves_tokens(self, spark):
+        from ethereum_etl_spark.operators.corpus import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, 10 + (i % 7)) for i in range(300)], "doc_id long, n_tokens long"
+        )
+        packs = pack_sequences(
+            docs, max_tokens=64, n_streams="auto", auto_docs_per_stream=50
+        )
+        total = packs.agg(F.sum(F.col("doc_to") - F.col("doc_from"))).collect()[0][0]
+        assert total == docs.agg(F.sum("n_tokens")).collect()[0][0]
+        assert packs.select("stream_id").distinct().count() == 6  # 300 // 50
+
+    def test_auto_rejects_garbage(self, spark):
+        from ethereum_etl_spark.operators.corpus import pack_sequences
+
+        docs = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+        with pytest.raises(ValueError):
+            pack_sequences(docs, max_tokens=8, n_streams="many")
